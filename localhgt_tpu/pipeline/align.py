@@ -1,0 +1,411 @@
+"""Seed-and-extend read alignment against the extracted sub-reference.
+
+Replaces the external `bwa mem | samtools view -q | sort` stage
+(reference pipeline.sh:39-60) and the BAM plumbing around it with an
+in-memory pipeline:
+
+  1. the sub-reference (the intervals emitted by the k-mer stage) is
+     concatenated with N separators and indexed by exact 19-mer seeds
+     (sorted hash array, host-built — the analogue of `bwa index`);
+  2. read seeds vote on (diagonal, strand) candidate locations;
+  3. candidates are scored with the batched affine SW kernel
+     (localhgt_tpu.ops.sw.sw_align) on device;
+  4. per read end we keep a primary alignment and, when a second candidate
+     covers a disjoint part of the read, a split alignment — the in-memory
+     equivalent of bwa's SA tag that extractSplitReads_BwaMem.py consumes
+     (reference scripts/extractSplitReads_BwaMem.py:9-46).
+
+Output is a struct-of-arrays AlnTable in *original contig coordinates*
+(the coordinate lifting the reference does per read in get_raw_bkp.py:62-64
+and accurate_bkp.py:225-237 happens here, once).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from localhgt_tpu.config import AlignConfig
+from localhgt_tpu.io import fasta
+from localhgt_tpu.ops.coder import COMPLEMENT
+
+
+@dataclass
+class SubRef:
+    codes: np.ndarray        # uint8 [R] concatenated segments, N separators
+    seg_contig: np.ndarray   # int32 [S] original contig id (1-based)
+    seg_start: np.ndarray    # int64 [S] original 0-based start
+    seg_off: np.ndarray      # int64 [S] offset into codes
+    seg_len: np.ndarray      # int64 [S]
+
+    def lift(self, flat_pos: np.ndarray):
+        """Flat coordinates -> (contig id, original position)."""
+        flat_pos = np.asarray(flat_pos, dtype=np.int64)
+        seg = np.searchsorted(self.seg_off, flat_pos, side="right") - 1
+        seg = np.clip(seg, 0, len(self.seg_off) - 1)
+        within = flat_pos - self.seg_off[seg]
+        contig = self.seg_contig[seg]
+        orig = self.seg_start[seg] + np.clip(within, 0, self.seg_len[seg] - 1)
+        return contig, orig, seg
+
+
+SEP = 24  # N bases between segments; > gap affordable by the SW scoring
+
+
+def build_subref(contigs: fasta.Contigs, intervals) -> SubRef:
+    """intervals: iterable of (contig_id, start_1based, end_1based_incl)."""
+    segs = []
+    for cid, s1, e1 in intervals:
+        codes = contigs.slice_codes(cid, s1 - 1, e1)
+        if len(codes) == 0:
+            continue
+        segs.append((cid, s1 - 1, codes))
+    if not segs:
+        return SubRef(
+            np.zeros(0, np.uint8), np.zeros(0, np.int32), np.zeros(0, np.int64),
+            np.zeros(0, np.int64), np.zeros(0, np.int64),
+        )
+    sep = np.full(SEP, 4, np.uint8)
+    parts = []
+    offs = []
+    off = 0
+    for cid, s0, codes in segs:
+        offs.append(off)
+        parts.append(codes)
+        parts.append(sep)
+        off += len(codes) + SEP
+    blob = np.concatenate(parts)
+    return SubRef(
+        codes=blob,
+        seg_contig=np.array([c for c, _, _ in segs], np.int32),
+        seg_start=np.array([s for _, s, _ in segs], np.int64),
+        seg_off=np.array(offs, np.int64),
+        seg_len=np.array([len(c) for _, _, c in segs], np.int64),
+    )
+
+
+def _pack_seeds(codes: np.ndarray, s: int) -> tuple[np.ndarray, np.ndarray]:
+    """2-bit packed s-mer at every start position; invalid (contains N) flagged.
+
+    codes: uint8 [..., L]. Returns (hash uint64 [..., L-s+1], valid bool).
+    """
+    L = codes.shape[-1]
+    n = L - s + 1
+    if n <= 0:
+        shp = codes.shape[:-1] + (0,)
+        return np.zeros(shp, np.uint64), np.zeros(shp, bool)
+    c = np.minimum(codes, 4).astype(np.uint64)
+    h = np.zeros(codes.shape[:-1] + (n,), np.uint64)
+    bad = np.zeros_like(h, dtype=np.int32)
+    for z in range(s):
+        h = (h << np.uint64(2)) | (c[..., z : z + n] & np.uint64(3))
+        bad += (codes[..., z : z + n] >= 4).astype(np.int32)
+    return h, bad == 0
+
+
+@dataclass
+class SeedIndex:
+    s: int
+    sorted_hash: np.ndarray   # uint64 [K]
+    sorted_pos: np.ndarray    # int64 [K]
+
+    @classmethod
+    def build(cls, subref: SubRef, s: int):
+        h, valid = _pack_seeds(subref.codes, s)
+        pos = np.flatnonzero(valid).astype(np.int64)
+        hv = h[valid]
+        order = np.argsort(hv, kind="stable")
+        return cls(s, hv[order], pos[order])
+
+    def lookup(self, query_hash: np.ndarray, max_occ: int):
+        """Return (hit_query_idx, hit_pos): up to max_occ subref positions per
+        query seed (high-frequency seeds truncated, like bwa's occ cap)."""
+        lo = np.searchsorted(self.sorted_hash, query_hash, side="left")
+        hi = np.searchsorted(self.sorted_hash, query_hash, side="right")
+        cnt = np.minimum(hi - lo, max_occ)
+        total = int(cnt.sum())
+        if total == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        qidx = np.repeat(np.arange(len(query_hash)), cnt)
+        # per-hit offset within its run
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return qidx, self.sorted_pos[np.repeat(lo, cnt) + offs]
+
+
+@dataclass
+class AlnTable:
+    """Primary (+ optional split) alignment per read end, original coords.
+
+    Convention mirrors SAM/pysam fields used downstream: `pos` is the 0-based
+    leftmost reference coordinate; `strand` 1 means the read aligned
+    reverse-complemented and `qstart/qend` (inclusive) are on the oriented
+    (stored) sequence, exactly like CIGAR soft-clips on a reverse-strand SAM
+    record.
+    """
+
+    read_id: np.ndarray
+    mate: np.ndarray
+    contig: np.ndarray
+    pos: np.ndarray
+    rend: np.ndarray
+    strand: np.ndarray
+    qstart: np.ndarray
+    qend: np.ndarray
+    score: np.ndarray
+    mapq: np.ndarray
+    rlen: np.ndarray
+    # split (SA) alignment; contig2 == -1 when absent
+    contig2: np.ndarray
+    pos2: np.ndarray
+    rend2: np.ndarray
+    strand2: np.ndarray
+    qstart2: np.ndarray
+    qend2: np.ndarray
+    score2: np.ndarray
+
+    def __len__(self):
+        return len(self.read_id)
+
+    @classmethod
+    def empty(cls):
+        z8, z16 = np.zeros(0, np.int8), np.zeros(0, np.int16)
+        z32, z64 = np.zeros(0, np.int32), np.zeros(0, np.int64)
+        return cls(z64, z8, z32.copy(), z64.copy(), z64.copy(), z8.copy(),
+                   z32.copy(), z32.copy(), z32.copy(), z16, z32.copy(),
+                   z32.copy(), z64.copy(), z64.copy(), z8.copy(),
+                   z32.copy(), z32.copy(), z32.copy())
+
+    @classmethod
+    def concat(cls, tables):
+        tables = [t for t in tables if len(t)]
+        if not tables:
+            return cls.empty()
+        kw = {
+            f: np.concatenate([getattr(t, f) for t in tables])
+            for f in cls.__dataclass_fields__
+        }
+        return cls(**kw)
+
+
+def _group_candidates(qidx, diag, qoff, n_queries, gap, max_candidates, min_votes):
+    """Cluster seed hits into candidate locations per (query) row.
+
+    Returns dense arrays [n_queries, max_candidates]: diag_repr (int64),
+    votes, qmin, qmax, valid mask. Vectorized: sort by (query, diag), split
+    runs where query changes or diag jumps by > gap, segment-reduce, rank by
+    votes within query.
+    """
+    C = max_candidates
+    out_diag = np.zeros((n_queries, C), np.int64)
+    out_votes = np.zeros((n_queries, C), np.int32)
+    out_qmin = np.zeros((n_queries, C), np.int32)
+    out_qmax = np.zeros((n_queries, C), np.int32)
+    out_ok = np.zeros((n_queries, C), bool)
+    if len(qidx) == 0:
+        return out_diag, out_votes, out_qmin, out_qmax, out_ok
+    order = np.lexsort((diag, qidx))
+    q = qidx[order]
+    d = diag[order]
+    o = qoff[order]
+    new = np.ones(len(q), bool)
+    new[1:] = (q[1:] != q[:-1]) | (d[1:] - d[:-1] > gap)
+    gid = np.cumsum(new) - 1
+    ng = gid[-1] + 1
+    g_votes = np.bincount(gid, minlength=ng)
+    g_q = q[new]
+    g_diag = d[new]
+    g_qmin = np.full(ng, 1 << 30, np.int64)
+    np.minimum.at(g_qmin, gid, o)
+    g_qmax = np.zeros(ng, np.int64)
+    np.maximum.at(g_qmax, gid, o)
+    keep = g_votes >= min_votes
+    g_q, g_diag, g_votes, g_qmin, g_qmax = (
+        a[keep] for a in (g_q, g_diag, g_votes, g_qmin, g_qmax)
+    )
+    if len(g_q) == 0:
+        return out_diag, out_votes, out_qmin, out_qmax, out_ok
+    # rank groups within each query by votes desc
+    order2 = np.lexsort((-g_votes, g_q))
+    g_q, g_diag, g_votes, g_qmin, g_qmax = (
+        a[order2] for a in (g_q, g_diag, g_votes, g_qmin, g_qmax)
+    )
+    first = np.ones(len(g_q), bool)
+    first[1:] = g_q[1:] != g_q[:-1]
+    rank = np.arange(len(g_q)) - np.maximum.accumulate(
+        np.where(first, np.arange(len(g_q)), 0)
+    )
+    sel = rank < C
+    rr = rank[sel]
+    qq = g_q[sel]
+    out_diag[qq, rr] = g_diag[sel]
+    out_votes[qq, rr] = g_votes[sel]
+    out_qmin[qq, rr] = g_qmin[sel]
+    out_qmax[qq, rr] = g_qmax[sel]
+    out_ok[qq, rr] = True
+    return out_diag, out_votes, out_qmin, out_qmax, out_ok
+
+
+def _revcomp_batch(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Reverse-complement padded reads, keeping padding at the tail."""
+    B, L = codes.shape
+    out = np.full_like(codes, 4)
+    comp = COMPLEMENT[codes]
+    idx = lengths[:, None] - 1 - np.arange(L)[None, :]
+    valid = idx >= 0
+    rows = np.broadcast_to(np.arange(B)[:, None], (B, L))
+    out[valid] = comp[rows[valid], idx[valid]]
+    return out
+
+
+def align_batch(
+    subref: SubRef,
+    index: SeedIndex,
+    codes: np.ndarray,
+    lengths: np.ndarray,
+    read_ids: np.ndarray,
+    mate: int,
+    cfg: AlignConfig,
+) -> AlnTable:
+    """Align one batch of single-end reads; returns per-read records
+    (unmapped reads included with contig=-1 so pairing stays positional)."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.ops import sw as swmod
+
+    B, L = codes.shape
+    rc = _revcomp_batch(codes, lengths)
+    C = cfg.max_candidates
+
+    # --- seed lookup on both strands ---
+    cand = []
+    for strand, arr in ((0, codes), (1, rc)):
+        h, valid = _pack_seeds(arr[:, :], cfg.seed_len)
+        stride_idx = np.arange(0, h.shape[1], cfg.seed_stride)
+        h = h[:, stride_idx]
+        valid = valid[:, stride_idx]
+        qoff_grid = np.broadcast_to(stride_idx[None, :], h.shape)
+        flat_sel = valid.reshape(-1)
+        qh = h.reshape(-1)[flat_sel]
+        qread = np.broadcast_to(
+            np.arange(B)[:, None], h.shape
+        ).reshape(-1)[flat_sel]
+        qoff = qoff_grid.reshape(-1)[flat_sel]
+        hit_q, hit_pos = index.lookup(qh, max_occ=32)
+        r = qread[hit_q]
+        o = qoff[hit_q]
+        diag = hit_pos - o
+        cand.append(
+            _group_candidates(
+                r, diag, o, B, gap=cfg.window_pad, max_candidates=C,
+                min_votes=cfg.min_seed_votes,
+            )
+            + (strand,)
+        )
+
+    # merge strands: 2C candidates per read
+    diag_all = np.concatenate([c[0] for c in cand], axis=1)
+    votes_all = np.concatenate([c[1] for c in cand], axis=1)
+    ok_all = np.concatenate([c[4] for c in cand], axis=1)
+    strand_all = np.concatenate(
+        [np.full((B, C), c[5], np.int8) for c in cand], axis=1
+    )
+    # keep top-C by votes across strands
+    order = np.argsort(-np.where(ok_all, votes_all, -1), axis=1, kind="stable")[:, :C]
+    rows = np.arange(B)[:, None]
+    diag_c = diag_all[rows, order]
+    ok_c = ok_all[rows, order]
+    strand_c = strand_all[rows, order]
+
+    # --- batched extension ---
+    W = int(L + 2 * cfg.window_pad)
+    win_start = diag_c - cfg.window_pad
+    np.clip(win_start, 0, max(len(subref.codes) - W, 0), out=win_start)
+    gather = win_start[:, :, None] + np.arange(W)[None, None, :]
+    np.clip(gather, 0, max(len(subref.codes) - 1, 0), out=gather)
+    ref_windows = (
+        subref.codes[gather] if len(subref.codes) else np.full(gather.shape, 4, np.uint8)
+    )
+    ref_windows[~ok_c] = 4
+    q_oriented = np.where(strand_c[:, :, None] == 1, rc[:, None, :], codes[:, None, :])
+
+    out = swmod.sw_align(
+        jnp.asarray(q_oriented.reshape(B * C, L)),
+        jnp.asarray(ref_windows.reshape(B * C, W)),
+        match=cfg.match, mismatch=cfg.mismatch,
+        gap_open=cfg.gap_open, gap_ext=cfg.gap_ext,
+    )
+    score = np.asarray(out["score"]).reshape(B, C)
+    qs = np.asarray(out["qstart"]).reshape(B, C)
+    qe = np.asarray(out["qend"]).reshape(B, C)
+    rs = np.asarray(out["rstart"]).reshape(B, C) + win_start
+    re_ = np.asarray(out["rend"]).reshape(B, C) + win_start
+    score = np.where(ok_c, score, 0)
+
+    # --- primary selection ---
+    prim = np.argmax(score, axis=1)
+    p_score = score[rows[:, 0], prim]
+    mapped = p_score >= (cfg.match * cfg.seed_len)  # needs at least a seed's worth
+
+    def pick(a):
+        return a[rows[:, 0], prim]
+
+    p_qs, p_qe = pick(qs), pick(qe)
+    p_rs, p_re = pick(rs), pick(re_)
+    p_strand = pick(strand_c)
+
+    # --- split / competitor separation ---
+    ov_lo = np.maximum(qs, p_qs[:, None])
+    ov_hi = np.minimum(qe, p_qe[:, None])
+    overlap = np.maximum(0, ov_hi - ov_lo + 1)
+    span = qe - qs + 1
+    nonov_self = span - overlap
+    nonov_prim = (p_qe - p_qs + 1)[:, None] - overlap
+    is_prim = np.zeros_like(score, bool)
+    is_prim[rows[:, 0], prim] = True
+    # competitor: overlapping placement of the same read part
+    competitor = (~is_prim) & ok_c & (overlap > span // 2)
+    comp_score = np.where(competitor, score, 0).max(axis=1)
+    mapq = np.clip(6 * (p_score - comp_score), 0, 60).astype(np.int16)
+    # split: disjoint-enough secondary with decent score
+    splitable = (
+        (~is_prim) & ok_c
+        & (np.minimum(nonov_self, nonov_prim) >= cfg.min_split_len)
+        & (score >= cfg.match * cfg.seed_len)
+    )
+    split_idx = np.argmax(np.where(splitable, score, -1), axis=1)
+    has_split = splitable[rows[:, 0], split_idx]
+
+    def pick2(a):
+        return a[rows[:, 0], split_idx]
+
+    # --- lift to original coordinates ---
+    contig, orig_pos, seg = subref.lift(p_rs)
+    _, orig_end, seg_e = subref.lift(p_re)
+    same_seg = seg == seg_e
+    mapped &= same_seg
+    contig2, orig_pos2, seg2 = subref.lift(pick2(rs))
+    _, orig_end2, seg2e = subref.lift(pick2(re_))
+    has_split &= seg2 == seg2e
+
+    n = B
+    return AlnTable(
+        read_id=read_ids.astype(np.int64),
+        mate=np.full(n, mate, np.int8),
+        contig=np.where(mapped, contig, -1).astype(np.int32),
+        pos=np.where(mapped, orig_pos, 0).astype(np.int64),
+        rend=np.where(mapped, orig_end, 0).astype(np.int64),
+        strand=p_strand.astype(np.int8),
+        qstart=p_qs.astype(np.int32),
+        qend=p_qe.astype(np.int32),
+        score=p_score.astype(np.int32),
+        mapq=np.where(mapped, mapq, 0).astype(np.int16),
+        rlen=lengths.astype(np.int32),
+        contig2=np.where(mapped & has_split, contig2, -1).astype(np.int32),
+        pos2=np.where(has_split, orig_pos2, 0).astype(np.int64),
+        rend2=np.where(has_split, orig_end2, 0).astype(np.int64),
+        strand2=pick2(strand_c).astype(np.int8),
+        qstart2=pick2(qs).astype(np.int32),
+        qend2=pick2(qe).astype(np.int32),
+        score2=np.where(has_split, pick2(score), 0).astype(np.int32),
+    )

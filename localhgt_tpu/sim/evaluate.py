@@ -1,0 +1,116 @@
+"""Accuracy scoring against simulator truth.
+
+Re-implements the paper harness's scoring (paper_results/evaluation.py):
+
+* A truth HGT event contributes two breakpoint pairs:
+  (receptor, insert_locus, donor, seg_start) and
+  (receptor, insert_locus, donor, seg_end)  (read_true, evaluation.py:87-95).
+* A called pair matches a truth pair iff contigs agree (either orientation)
+  and both positions are within `tolerate_dist` = 50 bp
+  (compare, evaluation.py:138-187).
+* recall = matched truth / truth; FDR = unmatched calls / calls;
+  F1 = harmonic mean of precision (1-FDR) and recall.
+* Extraction-stage recall: fraction of truth loci strictly inside emitted
+  bed intervals shrunk by ref_gap = 50 (Read_bed.search, evaluation.py:52-60).
+* Event scoring: all event fields within 50 bp (compare_event,
+  evaluation.py:1296-1314).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+TOLERATE_DIST = 50
+REF_GAP = 50
+
+
+@dataclass
+class BkpScore:
+    recall: float
+    fdr: float
+    f1: float
+    n_true: int
+    n_called: int
+    missed: list
+    false_pos: list
+
+
+def truth_to_bkps(truth) -> list[tuple[str, int, str, int]]:
+    out = []
+    for t in truth:
+        out.append((t.receptor, t.insert_locus, t.donor, t.seg_start))
+        out.append((t.receptor, t.insert_locus, t.donor, t.seg_end))
+    return out
+
+
+def _match(a, b, tol=TOLERATE_DIST) -> bool:
+    if a[0] == b[0] and a[2] == b[2]:
+        if abs(a[1] - b[1]) < tol and abs(a[3] - b[3]) < tol:
+            return True
+    if a[0] == b[2] and a[2] == b[0]:
+        if abs(a[1] - b[3]) < tol and abs(a[3] - b[1]) < tol:
+            return True
+    return False
+
+
+def score_bkps(true_bkps, called_bkps, tol=TOLERATE_DIST) -> BkpScore:
+    missed = []
+    right = 0
+    for t in true_bkps:
+        if any(_match(t, c, tol) for c in called_bkps):
+            right += 1
+        else:
+            missed.append(t)
+    recall = right / len(true_bkps) if true_bkps else 0.0
+    false_pos = [c for c in called_bkps if not any(_match(c, t, tol) for t in true_bkps)]
+    fdr = len(false_pos) / len(called_bkps) if called_bkps else 0.0
+    precision = 1 - fdr
+    f1 = (
+        2 / (1 / precision + 1 / recall)
+        if precision > 0 and recall > 0
+        else 0.0
+    )
+    return BkpScore(
+        round(recall, 4), round(fdr, 4), round(f1, 4),
+        len(true_bkps), len(called_bkps), missed, false_pos,
+    )
+
+
+def extraction_recall(truth, bed_intervals, gap=REF_GAP):
+    """bed_intervals: dict contig -> list[(start, end)] (1-based inclusive-ish,
+    as emitted in the .bed name:start-end lines). Truth loci checked strictly
+    inside shrunk intervals (evaluation.py:52-60,64-76)."""
+    loci = []
+    for t in truth:
+        loci.append((t.receptor, t.insert_locus))
+        loci.append((t.donor, t.seg_start))
+        loci.append((t.donor, t.seg_end))
+    hit = 0
+    for contig, pos in loci:
+        ivs = bed_intervals.get(contig, [])
+        if any(pos > s + gap and pos < e - gap for s, e in ivs):
+            hit += 1
+    return round(hit / len(loci), 4) if loci else 0.0
+
+
+def score_events(true_events, called_events, tol=TOLERATE_DIST):
+    """Events: (receptor, insert_locus, donor, delete_start, delete_end).
+    Match requires same receptor+donor and all three positions within tol
+    (compare_event, evaluation.py:1296-1314)."""
+
+    def ev_match(t, c):
+        return (
+            t[0] == c[0]
+            and t[2] == c[2]
+            and abs(t[1] - c[1]) < tol
+            and abs(t[3] - c[3]) < tol
+            and abs(t[4] - c[4]) < tol
+        )
+
+    right = sum(1 for t in true_events if any(ev_match(t, c) for c in called_events))
+    recall = right / len(true_events) if true_events else 0.0
+    fp = sum(1 for c in called_events if not any(ev_match(t, c) for t in true_events))
+    fdr = fp / len(called_events) if called_events else 0.0
+    precision = 1 - fdr
+    f1 = 2 / (1 / precision + 1 / recall) if precision > 0 and recall > 0 else 0.0
+    return round(recall, 4), round(fdr, 4), round(f1, 4)

@@ -1,0 +1,81 @@
+"""Tests for the deterministic saturating count table.
+
+Semantics under test: final_count == min(total_occurrences, cap), matching a
+single-threaded run of the reference's capped increment
+(extract_ref_normal_peak.cpp:1082-1085), independent of batching.
+"""
+
+import numpy as np
+
+from localhgt_tpu.ops import coder, count, encode
+
+
+def test_count_batch_caps_and_saturates():
+    import jax.numpy as jnp
+
+    k = 10
+    table = count.make_table(k)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, 1 << k, size=5000).astype(np.uint32)
+    # force heavy duplication of one index within the batch
+    idx[:3000] = 7
+    valid = np.ones(5000, bool)
+    valid[4000:] = False
+
+    table = count.count_batch(table, jnp.asarray(idx), jnp.asarray(valid))
+    got = np.asarray(table)
+
+    exp = np.zeros(1 << k, np.int64)
+    np.add.at(exp, idx[valid], 1)
+    np.testing.assert_array_equal(got, np.minimum(exp, 3).astype(np.int8))
+
+
+def test_count_batch_accumulates_across_batches():
+    import jax.numpy as jnp
+
+    k = 8
+    table = count.make_table(k)
+    total = np.zeros(1 << k, np.int64)
+    rng = np.random.default_rng(1)
+    for _ in range(4):
+        idx = rng.integers(0, 1 << k, size=300).astype(np.uint32)
+        valid = rng.random(300) < 0.8
+        table = count.count_batch(table, jnp.asarray(idx), jnp.asarray(valid))
+        np.add.at(total, idx[valid], 1)
+    np.testing.assert_array_equal(
+        np.asarray(table), np.minimum(total, 3).astype(np.int8)
+    )
+
+
+def test_count_reads_step_end_to_end():
+    """Hash + count fused step equals per-read host hashing + capped counts."""
+    import jax.numpy as jnp
+
+    k = 12
+    masks, cc = encode.hasher_for(k, 3, seed=1)
+    rng = np.random.default_rng(2)
+    B, L = 16, 60
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    codes[0, 5] = coder.BASE_N
+    lengths = np.full(B, L, np.int32)
+    lengths[3] = 40
+    accept = np.ones(B, bool)
+    accept[7] = False
+
+    tables = tuple(count.make_table(k) for _ in range(3))
+    tables = count.count_reads_step(
+        tables, jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(accept),
+        masks, k,
+    )
+
+    exp = [np.zeros(1 << k, np.int64) for _ in range(3)]
+    for b in range(B):
+        if not accept[b]:
+            continue
+        h, v = coder.reference_kmer_hashes(codes[b, : lengths[b]], cc, k)
+        for i in range(3):
+            np.add.at(exp[i], h[v, i].astype(np.int64), 1)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            np.asarray(tables[i]), np.minimum(exp[i], 3).astype(np.int8)
+        )
