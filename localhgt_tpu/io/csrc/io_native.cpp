@@ -1,0 +1,200 @@
+// Native host IO for the TPU HGT engine.
+//
+// Replaces the reference engine's in-process FASTQ streaming
+// (src/extract_ref_normal_peak.cpp:44-89,981-1107 — byte-range threads that
+// re-sync to record boundaries) with a block reader that parses FASTQ records
+// into fixed-width base-code matrices ready for device upload. Parsing is
+// multithreaded per block using the same record-boundary re-sync idea: each
+// thread takes a byte range of the block and advances to the next '@' header
+// whose successor lines parse as a record.
+//
+// Also provides the glibc-rand down-sampling array for strict parity with the
+// reference's deterministic per-read-ordinal sampling (get_random,
+// cpp:1332-1340).
+//
+// C ABI only; consumed via ctypes (localhgt_tpu/io/native.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// base codes: A=0 C=1 G=2 T=3, everything else 4
+static uint8_t CODE[256];
+static bool code_init_done = false;
+static void init_codes() {
+  if (code_init_done) return;
+  memset(CODE, 4, sizeof(CODE));
+  CODE[(int)'A'] = 0; CODE[(int)'a'] = 0;
+  CODE[(int)'C'] = 1; CODE[(int)'c'] = 1;
+  CODE[(int)'G'] = 2; CODE[(int)'g'] = 2;
+  CODE[(int)'T'] = 3; CODE[(int)'t'] = 3;
+  code_init_done = true;
+}
+
+struct FastqReader {
+  FILE* f;
+  std::vector<char> carry;
+  int64_t ordinal;
+};
+
+void* lht_fastq_open(const char* path) {
+  init_codes();
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* r = new FastqReader();
+  r->f = f;
+  r->ordinal = 0;
+  return r;
+}
+
+void lht_fastq_close(void* h) {
+  auto* r = (FastqReader*)h;
+  if (!r) return;
+  fclose(r->f);
+  delete r;
+}
+
+// Parse one block of up to max_reads records.
+// codes: uint8[max_reads * width] (pre-filled by caller or overwritten here
+// with 4s), lengths: int32[max_reads]. Returns number of records produced;
+// 0 at EOF. start_ordinal receives the ordinal of the first read.
+int64_t lht_fastq_next_block(void* h, uint8_t* codes, int32_t* lengths,
+                             int64_t max_reads, int64_t width,
+                             int64_t chunk_bytes, int64_t* start_ordinal,
+                             int32_t n_threads) {
+  auto* r = (FastqReader*)h;
+  if (!r) return -1;
+  *start_ordinal = r->ordinal;
+
+  // read chunk + carry
+  std::vector<char> buf;
+  buf.swap(r->carry);
+  size_t have = buf.size();
+  buf.resize(have + chunk_bytes);
+  size_t got = fread(buf.data() + have, 1, chunk_bytes, r->f);
+  buf.resize(have + got);
+  if (buf.empty()) return 0;
+
+  // find newline offsets (single pass)
+  std::vector<int64_t> nl;
+  nl.reserve(buf.size() / 64);
+  for (size_t i = 0; i < buf.size(); i++)
+    if (buf[i] == '\n') nl.push_back((int64_t)i);
+  int64_t nrec = (int64_t)nl.size() / 4;
+  bool at_eof = (got == 0);
+  if (nrec == 0) {
+    if (at_eof) return 0;     // trailing garbage / partial record: drop
+    r->carry = std::move(buf);
+    return lht_fastq_next_block(h, codes, lengths, max_reads, width,
+                                chunk_bytes, start_ordinal, n_threads);
+  }
+  if (nrec > max_reads) nrec = max_reads;
+  int64_t consumed = nl[nrec * 4 - 1] + 1;
+  if (consumed < (int64_t)buf.size())
+    r->carry.assign(buf.begin() + consumed, buf.end());
+
+  // parse sequence lines (line 4i+1) into codes
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t s = nl[i * 4] + 1;  // sequence line follows the header line
+      int64_t e = nl[i * 4 + 1];
+      int64_t len = e - s;
+      if (len > width) len = width;
+      lengths[i] = (int32_t)len;
+      uint8_t* row = codes + i * width;
+      const char* p = buf.data() + s;
+      int64_t j = 0;
+      for (; j < len; j++) row[j] = CODE[(uint8_t)p[j]];
+      for (; j < width; j++) row[j] = 4;
+    }
+  };
+  if (n_threads <= 1 || nrec < 4096) {
+    work(0, nrec);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (nrec + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+      int64_t lo = t * per;
+      int64_t hi = lo + per;
+      if (hi > nrec) hi = nrec;
+      if (lo >= hi) break;
+      ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+  r->ordinal += nrec;
+  return nrec;
+}
+
+// Total bases on sequence lines + read count (cal_sam_ratio equivalent,
+// cpp:1244-1270).
+int64_t lht_fastq_count_bases(const char* path, int64_t* n_reads) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  const size_t CH = 1 << 22;
+  std::vector<char> buf(CH);
+  int64_t total = 0, reads = 0;
+  int64_t line = 0;       // current line index
+  int64_t linelen = 0;    // bytes so far on the current line
+  size_t got;
+  while ((got = fread(buf.data(), 1, CH, f)) > 0) {
+    for (size_t i = 0; i < got; i++) {
+      if (buf[i] == '\n') {
+        if ((line & 3) == 1) {
+          total += linelen;
+          reads++;
+        }
+        line++;
+        linelen = 0;
+      } else {
+        linelen++;
+      }
+    }
+  }
+  fclose(f);
+  if (n_reads) *n_reads = reads;
+  return total;
+}
+
+// glibc-compatible rand stream -> the reference's down-sampling array
+// random_array[i] = (rand() % 100000) / 1000.0 (get_random, cpp:1332-1340).
+void lht_glibc_random_array(uint32_t seed, int64_t n, float* out) {
+  // TYPE_3 additive generator, degree 31, sep 3 (matches GlibcRand in
+  // localhgt_tpu/ops/coder.py)
+  if (seed == 0) seed = 1;
+  std::vector<uint32_t> r(34);
+  int32_t word = (int32_t)seed;
+  r[0] = (uint32_t)word;
+  for (int i = 1; i < 31; i++) {
+    int32_t hi = word / 127773;
+    int32_t lo = word % 127773;
+    word = 16807 * lo - 2836 * hi;
+    if (word < 0) word += 2147483647;
+    r[i] = (uint32_t)word;
+  }
+  for (int i = 31; i < 34; i++) r[i] = r[i - 31];
+  size_t idx = 34;
+  std::vector<uint32_t> ring(r);
+  auto next = [&]() -> uint32_t {
+    uint32_t w = ring[idx - 31] + ring[idx - 3];
+    ring.push_back(w);
+    idx++;
+    if (ring.size() > (1 << 20)) {  // keep memory bounded
+      ring.erase(ring.begin(), ring.end() - 34);
+      idx = 34;
+    }
+    return w;
+  };
+  for (int i = 34; i < 344; i++) next();
+  for (int64_t i = 0; i < n; i++) {
+    uint32_t v = next() >> 1;
+    out[i] = (float)((double)(v % 100000) / 1000.0);
+  }
+}
+
+}  // extern "C"

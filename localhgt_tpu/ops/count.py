@@ -67,11 +67,15 @@ def count_batch(table, hashes, valid, cap: int = 3):
     return _update(table, s, contrib, cap)
 
 
+@partial(jax.jit, static_argnames=("k", "cap"), donate_argnums=(0,))
 def count_reads_step(tables, codes, lengths, accept, masks, k: int, cap: int = 3):
     """One fused device step: hash a read batch and update all hash tables.
 
+    Fully jitted (single dispatch per batch — essential when the device sits
+    behind a network tunnel) and donating the tables so updates are in-place.
+
     Args:
-        tables: list/tuple of int8 [2^k] tables, one per hash function.
+        tables: tuple of int8 [2^k] tables, one per hash function.
         codes: uint8 [B, L] base codes, padded with N (=4).
         lengths: int32 [B] true read lengths.
         accept: bool [B] down-sampling acceptance per read
@@ -85,5 +89,7 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int, cap: int = 3
     valid = valid & inwin & accept[:, None]
     new_tables = []
     for i, t in enumerate(tables):
-        new_tables.append(count_batch(t, hashes[i], valid, cap))
+        s, contrib = capped_batch_delta(hashes[i], valid, cap, t.shape[0])
+        t = t.at[s].add(contrib, mode="drop")
+        new_tables.append(jnp.minimum(t, jnp.int8(cap)))
     return tuple(new_tables)

@@ -43,7 +43,8 @@ def truncated_min(window: int, ratio: float) -> int:
     return int(np.float32(window) * np.float32(ratio))
 
 
-def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3):
+def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3,
+              true_len=None):
     """Good-window and peak masks for one contig.
 
     Args:
@@ -51,6 +52,9 @@ def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3):
         hc: int8/int32 [coder_num, L] per-position table counts (0 where the
             k-mer was invalid or index 0 — read_index, cpp:933-945).
         k: k-mer length.
+        true_len: optional dynamic contig length when hc is padded beyond the
+            contig end; peak conditions are only evaluated for j < true_len
+            (the C++ loop bound, cpp:573).
 
     Returns:
         good: bool [L], peak: bool [L].
@@ -78,6 +82,8 @@ def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3):
     # peak stencil
     j = xp.arange(L, dtype=xp.int32)
     in_range = j > (2 * k + 2 * w)  # strict, cpp:644
+    if true_len is not None:
+        in_range = in_range & (j < true_len)
     right = s1 - _shifted(xp, s1p, pad, -w, L)
     base_left = (
         _shifted(xp, s1p, pad, -w, L)

@@ -317,30 +317,40 @@ def align_batch(
     ok_c = ok_all[rows, order]
     strand_c = strand_all[rows, order]
 
-    # --- batched extension ---
+    # --- batched extension (compacted: only real candidates hit the DP,
+    # padded to power-of-two buckets so the kernel compiles a few shapes) ---
     W = int(L + 2 * cfg.window_pad)
     win_start = diag_c - cfg.window_pad
     np.clip(win_start, 0, max(len(subref.codes) - W, 0), out=win_start)
-    gather = win_start[:, :, None] + np.arange(W)[None, None, :]
-    np.clip(gather, 0, max(len(subref.codes) - 1, 0), out=gather)
-    ref_windows = (
-        subref.codes[gather] if len(subref.codes) else np.full(gather.shape, 4, np.uint8)
-    )
-    ref_windows[~ok_c] = 4
-    q_oriented = np.where(strand_c[:, :, None] == 1, rc[:, None, :], codes[:, None, :])
-
-    out = swmod.sw_align(
-        jnp.asarray(q_oriented.reshape(B * C, L)),
-        jnp.asarray(ref_windows.reshape(B * C, W)),
-        match=cfg.match, mismatch=cfg.mismatch,
-        gap_open=cfg.gap_open, gap_ext=cfg.gap_ext,
-    )
-    score = np.asarray(out["score"]).reshape(B, C)
-    qs = np.asarray(out["qstart"]).reshape(B, C)
-    qe = np.asarray(out["qend"]).reshape(B, C)
-    rs = np.asarray(out["rstart"]).reshape(B, C) + win_start
-    re_ = np.asarray(out["rend"]).reshape(B, C) + win_start
-    score = np.where(ok_c, score, 0)
+    sel = np.flatnonzero(ok_c.reshape(-1))
+    score = np.zeros((B, C), np.int32)
+    qs = np.zeros((B, C), np.int32)
+    qe = np.zeros((B, C), np.int32)
+    rs = np.zeros((B, C), np.int64)
+    re_ = np.zeros((B, C), np.int64)
+    if len(sel) and len(subref.codes):
+        n_sel = len(sel)
+        n_pad = max(256, 1 << (n_sel - 1).bit_length())
+        b_idx = sel // C
+        c_idx = sel % C
+        ws = win_start.reshape(-1)[sel]
+        gather = ws[:, None] + np.arange(W)[None, :]
+        np.clip(gather, 0, len(subref.codes) - 1, out=gather)
+        ref_w = np.full((n_pad, W), 4, np.uint8)
+        ref_w[:n_sel] = subref.codes[gather]
+        q_sel = np.full((n_pad, L), 4, np.uint8)
+        strands = strand_c.reshape(-1)[sel]
+        q_sel[:n_sel] = np.where(strands[:, None] == 1, rc[b_idx], codes[b_idx])
+        out = swmod.sw_align(
+            jnp.asarray(q_sel), jnp.asarray(ref_w),
+            match=cfg.match, mismatch=cfg.mismatch,
+            gap_open=cfg.gap_open, gap_ext=cfg.gap_extend,
+        )
+        score[b_idx, c_idx] = np.asarray(out["score"])[:n_sel]
+        qs[b_idx, c_idx] = np.asarray(out["qstart"])[:n_sel]
+        qe[b_idx, c_idx] = np.asarray(out["qend"])[:n_sel]
+        rs[b_idx, c_idx] = np.asarray(out["rstart"])[:n_sel] + ws
+        re_[b_idx, c_idx] = np.asarray(out["rend"])[:n_sel] + ws
 
     # --- primary selection ---
     prim = np.argmax(score, axis=1)
@@ -355,12 +365,20 @@ def align_batch(
     p_strand = pick(strand_c)
 
     # --- split / competitor separation ---
-    ov_lo = np.maximum(qs, p_qs[:, None])
-    ov_hi = np.minimum(qe, p_qe[:, None])
+    # Compare query spans in the ORIGINAL read frame: reverse-strand spans
+    # flip, exactly as extractSplitReads reverses CIGAR ops for flag&16
+    # records (extractSplitReads_BwaMem.py:96-122).
+    ln = lengths[:, None]
+    qs_f = np.where(strand_c == 1, ln - 1 - qe, qs)
+    qe_f = np.where(strand_c == 1, ln - 1 - qs, qe)
+    p_qs_f = qs_f[rows[:, 0], prim][:, None]
+    p_qe_f = qe_f[rows[:, 0], prim][:, None]
+    ov_lo = np.maximum(qs_f, p_qs_f)
+    ov_hi = np.minimum(qe_f, p_qe_f)
     overlap = np.maximum(0, ov_hi - ov_lo + 1)
-    span = qe - qs + 1
+    span = qe_f - qs_f + 1
     nonov_self = span - overlap
-    nonov_prim = (p_qe - p_qs + 1)[:, None] - overlap
+    nonov_prim = (p_qe_f - p_qs_f + 1) - overlap
     is_prim = np.zeros_like(score, bool)
     is_prim[rows[:, 0], prim] = True
     # competitor: overlapping placement of the same read part

@@ -1,0 +1,146 @@
+"""End-to-end HGT breakpoint detection (`localhgt bkp` equivalent).
+
+Orchestrates the full device-native pipeline (reference call stack: SURVEY.md
+section 3.1, pipeline.sh):
+
+    extract (k-mer stage, unless use_kmer=0)         extract_ref + get_bed
+ -> sub-reference + seed index                       samtools faidx + bwa index
+ -> seed-and-extend alignment of all read pairs      bwa mem | samtools
+ -> insert-size estimate                             getInsertSize
+ -> discordant-pair clustering -> raw junctions      get_raw_bkp.py
+ -> split-read SW refinement -> precise breakpoints  accurate_bkp.py
+ -> near-duplicate removal -> <sample>.acc.csv       remove_repeat.py
+
+No files pass between stages except the final CSV (and optional bed/interval
+files for inspection) — the file-bus design of the reference is replaced by
+in-memory arrays (SURVEY.md section 1 closing note).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+import numpy as np
+
+from localhgt_tpu.config import Config
+from localhgt_tpu.index import reference
+from localhgt_tpu.io import fastq
+from localhgt_tpu.pipeline import accbkp, align, extract, rawbkp
+from localhgt_tpu.utils import formats
+
+log = logging.getLogger("localhgt_tpu.bkp")
+
+
+def detect_breakpoint(
+    ref_path: str,
+    fq1: str,
+    fq2: str,
+    sample: str,
+    outdir: str,
+    cfg: Config | None = None,
+    use_kmer: bool = True,
+    read_info: bool = True,
+) -> str:
+    """Run breakpoint detection; returns the path of <sample>.acc.csv."""
+    cfg = cfg or Config()
+    os.makedirs(outdir, exist_ok=True)
+    t0 = time.time()
+    logging.basicConfig(level=logging.INFO)
+
+    contigs = reference.build(ref_path)
+    log.info("reference: %d contigs, %d bp", contigs.n, len(contigs.codes))
+
+    if use_kmer:
+        res = extract.extract(fq1, fq2, contigs, cfg)
+        intervals = res.intervals
+        with open(os.path.join(outdir, f"{sample}.interval.txt.bed"), "w") as f:
+            f.write("\n".join(res.bed) + ("\n" if res.bed else ""))
+        log.info("extraction: %d intervals (%.1fs)", len(intervals), time.time() - t0)
+    else:
+        intervals = [
+            (cid, 1, contigs.length_of(cid)) for cid in range(1, contigs.n + 1)
+        ]
+
+    subref = align.build_subref(contigs, intervals)
+    log.info("sub-reference: %d segments, %d bp", len(subref.seg_off), len(subref.codes))
+    if len(subref.codes) == 0:
+        acc_path = os.path.join(outdir, f"{sample}.acc.csv")
+        formats.write_acc_csv(acc_path, [], contigs, 0, 0)
+        return acc_path
+    index = align.SeedIndex.build(subref, cfg.align.seed_len)
+
+    # --- align all read pairs ---
+    t1 = time.time()
+    tables1, tables2 = [], []
+    codes1, codes2 = [], []
+    n_pairs = 0
+    batch_reads = 1 << 14
+    width = None
+    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
+        if width is None:
+            width = max(64, -(-max(b1.codes.shape[1], b2.codes.shape[1]) // 64) * 64)
+        ids = np.arange(b1.start_ordinal, b1.start_ordinal + b1.n)
+        for b, mate, tabs, codes_all in (
+            (b1, 0, tables1, codes1), (b2, 1, tables2, codes2),
+        ):
+            c = _pad_to(b.codes, width)
+            ln = np.minimum(b.lengths, width)
+            if b.n < batch_reads:  # pad to a pow2 bucket for stable jit shapes
+                target = max(256, 1 << (b.n - 1).bit_length())
+                c = np.concatenate(
+                    [c, np.full((target - b.n, width), 4, np.uint8)]
+                )
+                ln = np.concatenate([ln, np.zeros(target - b.n, np.int32)])
+                full_ids = np.concatenate(
+                    [ids, np.full(target - b.n, -1, np.int64)]
+                )
+            else:
+                full_ids = ids
+            t = align.align_batch(subref, index, c, ln, full_ids, mate, cfg.align)
+            t = _crop_table(t, b.n)
+            tabs.append(t)
+            codes_all.append(c[: b.n])
+        n_pairs += b1.n
+    a1 = align.AlnTable.concat(tables1)
+    a2 = align.AlnTable.concat(tables2)
+    codes1 = np.concatenate(codes1) if codes1 else np.zeros((0, 64), np.uint8)
+    codes2 = np.concatenate(codes2) if codes2 else np.zeros((0, 64), np.uint8)
+    mapped = int(((a1.contig > 0) | (a2.contig > 0)).sum())
+    log.info("aligned %d pairs (%d with a mapped end) in %.1fs",
+             n_pairs, mapped, time.time() - t1)
+
+    # --- breakpoint calling ---
+    ins = rawbkp.estimate_insert(a1, a2, cfg.bkp)
+    log.info("read length %d, insert size %d (n=%d)", ins.rlen, ins.insert_size, ins.n)
+    raw = rawbkp.call_raw_bkps(a1, a2, ins, cfg.bkp)
+    log.info("raw junctions: %d", len(raw))
+
+    accs = accbkp.find_accurate_bkps(
+        raw, a1, a2, codes1, codes2, contigs, ins, cfg.bkp,
+        subref if use_kmer else None, read_info=read_info,
+    )
+    accs = formats.dedup_rows(accs, cfg.bkp.dedup_cutoff)
+    log.info("final breakpoints: %d", len(accs))
+
+    acc_path = os.path.join(outdir, f"{sample}.acc.csv")
+    formats.write_acc_csv(acc_path, accs, contigs, 2 * n_pairs, ins.insert_size)
+    log.info("total %.1fs -> %s", time.time() - t0, acc_path)
+    return acc_path
+
+
+def _pad_to(codes: np.ndarray, width: int) -> np.ndarray:
+    if codes.shape[1] >= width:
+        return codes[:, :width]
+    out = np.full((codes.shape[0], width), 4, np.uint8)
+    out[:, : codes.shape[1]] = codes
+    return out
+
+
+def _crop_table(t: align.AlnTable, n: int) -> align.AlnTable:
+    import dataclasses
+
+    return align.AlnTable(
+        **{f: getattr(t, f)[:n] for f in t.__dataclass_fields__}
+    )

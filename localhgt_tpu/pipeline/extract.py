@@ -1,0 +1,221 @@
+"""Stage 1: k-mer extraction of HGT-related reference intervals.
+
+Device-native re-implementation of the `extract_ref` binary
+(src/extract_ref_normal_peak.cpp:1342-1519) + get_bed_file.py:
+
+  A. stream read pairs, count canonical k-mer hashes into saturating tables
+     (hot loop 1, cpp:1052-1086);
+  B. stream the reference, gather per-position table counts, run the
+     good-window + divergence-peak scan (hot loops 2, cpp:550-979);
+  C. collect peak k-mers, second read pass votes pairs bridging two genomes'
+     peaks (hot loop 3, cpp:313-506), keep peaks with >= MIN_READS votes,
+     emit merged +-500bp intervals (cpp:515-548) and the .bed lines
+     (get_bed_file.py:14-18).
+
+Contig scans are chunked with halo overlap so arbitrarily long contigs fit
+device memory (the 1-D context-parallel stencil noted in SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+
+import numpy as np
+
+from localhgt_tpu.config import Config
+from localhgt_tpu.io import fasta, fastq
+from localhgt_tpu.ops import count, encode, scan
+from localhgt_tpu.pipeline import peaks as peaks_mod
+
+log = logging.getLogger("localhgt_tpu.extract")
+
+SCAN_CHUNK = 1 << 22  # positions per device scan chunk
+
+
+@dataclass
+class ExtractResult:
+    intervals: list        # [(contig_id, start_1based, end_1based)]
+    bed: list              # ["name:start-end", ...]
+    peakset: peaks_mod.PeakSet
+    peak_votes: np.ndarray
+    n_pairs_counted: int
+    ratio: float
+
+
+def _pad_read_batch(b, accept, B: int, L: int):
+    """Fixed-shape (B, L) views of a ReadBatch so jitted steps compile once.
+    Overlong reads crop to L; missing rows pad with accept=False."""
+    codes = np.full((B, L), 4, np.uint8)
+    w = min(b.codes.shape[1], L)
+    codes[: b.n, :w] = b.codes[:, :w]
+    lengths = np.zeros(B, np.int32)
+    lengths[: b.n] = np.minimum(b.lengths, L)
+    acc = np.zeros(B, bool)
+    acc[: b.n] = accept
+    return codes, lengths, acc
+
+
+def _batch_width(lmax: int) -> int:
+    return max(64, -(-lmax // 64) * 64)
+
+
+def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
+    """Stage A: build the per-hash count tables from both FASTQs."""
+    import jax.numpy as jnp
+
+    k = cfg.kmer.k
+    tables = tuple(count.make_table(k) for _ in range(cfg.kmer.coder_num))
+    ratio = fastq.downsample_ratio(cfg.kmer.sample, fq1)
+    masks_j = jnp.asarray(masks)
+    n_pairs = 0
+    width = None
+    for path in (fq1, fq2):
+        for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
+            if width is None:
+                width = _batch_width(b.codes.shape[1])
+            acc = fastq.accept_mask(b.start_ordinal, b.n, ratio, cfg.kmer.seed)
+            codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
+            tables = count.count_reads_step(
+                tables, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth,
+            )
+            if path == fq1:
+                n_pairs += b.n
+    return tables, ratio, n_pairs
+
+
+from functools import partial
+
+import jax
+
+
+@partial(jax.jit, static_argnames=("k", "scan_cfg", "least_depth"))
+def _scan_chunk(tables, codes, true_len, masks, k, scan_cfg, least_depth):
+    """Stage B device step: hash a (padded) contig chunk, gather per-coder
+    table counts (read_index cpp:933-945: hash 0 or invalid -> count 0), and
+    run the good-window/peak stencils — one dispatch per chunk."""
+    import jax.numpy as jnp
+
+    h, v = encode.canonical_hashes(jnp, codes, masks, k)
+    rows = []
+    for i, t in enumerate(tables):
+        cnt = t[h[i]]
+        rows.append(jnp.where(v & (h[i] != 0), cnt, 0))
+    hc = jnp.stack(rows).astype(jnp.int8)
+    return scan.scan_hits(jnp, hc, k, scan_cfg, least_depth, true_len=true_len)
+
+
+def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
+    """Stage B: per-contig good intervals + peak positions (host lists).
+
+    Chunks are padded to a fixed size so the device function compiles once;
+    the halo covers the window sums and the 2k peak stencil."""
+    import jax.numpy as jnp
+
+    k = cfg.kmer.k
+    halo = cfg.scan.window + 4 * k + 64
+    masks_j = jnp.asarray(masks)
+    # one fixed chunk size: smallest power of two covering the longest contig
+    # (capped at SCAN_CHUNK)
+    longest = int(max(contigs.lengths)) if contigs.n else 0
+    chunk = 1 << max(12, (longest + 2 * halo - 1).bit_length())
+    chunk = min(chunk, SCAN_CHUNK)
+    per_contig = []
+    for cid in range(1, contigs.n + 1):
+        codes = contigs.contig_codes(cid)
+        L = len(codes)
+        if L <= k:
+            continue
+        good = np.zeros(L, bool)
+        peak = np.zeros(L, bool)
+        step = chunk - 2 * halo
+        for s in range(0, L, step):
+            e = min(L, s + step)
+            cs = max(0, s - halo)
+            buf = np.full(chunk, 4, np.uint8)
+            n = min(chunk, L - cs)
+            buf[:n] = codes[cs : cs + n]
+            g, p = _scan_chunk(
+                tables, jnp.asarray(buf), jnp.int32(min(L - cs, chunk)),
+                masks_j, k, cfg.scan, cfg.kmer.least_depth,
+            )
+            g = np.asarray(g)
+            p = np.asarray(p)
+            good[s:e] = g[s - cs : s - cs + (e - s)]
+            peak[s:e] = p[s - cs : s - cs + (e - s)]
+            if e == L:
+                break
+        ivs = scan.good_intervals(good, cfg.scan.window, pad=cfg.scan.good_pad)
+        pos, groups = scan.peaks_in_intervals(peak, ivs, cfg.scan.merge_close_peak)
+        per_contig.append((cid, pos, groups))
+    return per_contig
+
+
+def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
+    """Stage C: second read pass -> peak votes."""
+    import jax.numpy as jnp
+
+    k = cfg.kmer.k
+    peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
+    sh = jnp.asarray(pset.sorted_hash)
+    sp = jnp.asarray(pset.sorted_peak)
+    pc = jnp.asarray(pset.contig.astype(np.int32))
+    masks_j = jnp.asarray(masks)
+    width = None
+    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
+        if width is None:
+            width = _batch_width(max(b1.codes.shape[1], b2.codes.shape[1]))
+        acc = fastq.accept_mask(b1.start_ordinal, b1.n, ratio, cfg.kmer.seed)
+        c1, l1, acc_p = _pad_read_batch(b1, acc, batch_reads, width)
+        c2, l2, _ = _pad_read_batch(b2, acc, batch_reads, width)
+        peak_filter = peaks_mod.split_vote_batch(
+            peak_filter,
+            jnp.asarray(c1), jnp.asarray(l1),
+            jnp.asarray(c2), jnp.asarray(l2),
+            jnp.asarray(acc_p),
+            masks_j, sh, sp, pc,
+            k=k, min_base_num=cfg.scan.min_base_num,
+        )
+    return np.asarray(peak_filter)
+
+
+def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractResult:
+    masks, _ = encode.hasher_for(cfg.kmer.k, cfg.kmer.coder_num, cfg.kmer.seed)
+
+    log.info("stage A: k-mer counting")
+    tables, ratio, n_pairs = count_kmers(fq1, fq2, masks, cfg)
+    log.info("counted %d pairs (ratio %.4f)", n_pairs, ratio)
+
+    log.info("stage B: reference scan")
+    per_contig = scan_reference(tables, contigs, masks, cfg)
+    n_raw = sum(len(p) for _, p, _ in per_contig)
+    log.info("raw candidate peaks: %d", n_raw)
+
+    tables_host = [np.asarray(t) for t in tables]
+    pset = peaks_mod.build_peakset(
+        per_contig, lambda cid: contigs.contig_codes(cid), tables_host,
+        masks, cfg.kmer.k,
+    )
+    del tables_host
+
+    log.info("stage C: split-read vote over %d peaks", pset.n)
+    votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio)
+
+    kept = np.flatnonzero(votes[1:] >= cfg.scan.min_reads) + 1
+    contig_lens = {cid: contigs.length_of(cid) for cid in range(1, contigs.n + 1)}
+    pairs = sorted(
+        ((int(pset.contig[p]), int(pset.pos[p])) for p in kept)
+    )
+    intervals = scan.final_intervals(
+        pairs, cfg.scan.ref_near, cfg.scan.ref_gap, contig_lens
+    )
+    bed = []
+    final = []
+    for cid, s, e in intervals:
+        if e - s < cfg.scan.min_frag_len:  # get_bed_file.py:16
+            continue
+        final.append((cid, s, e))
+        bed.append(f"{contigs.name_of(cid)}:{s}-{e}")
+    log.info("kept %d peaks -> %d intervals", len(kept), len(final))
+    return ExtractResult(final, bed, pset, votes, n_pairs, ratio)

@@ -1,0 +1,203 @@
+"""Candidate-peak bookkeeping and the k-mer split-read vote.
+
+Port of the Peaks/Split_reads machinery
+(src/extract_ref_normal_peak.cpp:91-548): peaks found by the reference scan
+get ids; the k-mers at each peak position (with table count > 0) map
+hash -> peak id; a second pass over the read pairs votes, per pair, on which
+genomes its peak k-mers support; a pair whose top-2 supported genomes both
+have >= MIN_BASE_NUM voting bases bumps those genomes' first-seen peaks
+(check_split, cpp:161-202). Peaks with >= MIN_READS votes become the final
+extraction intervals.
+
+The reference's 2^32-entry peak_kmer array (16 GB) is replaced by a sorted
+(hash, peak) table + binary search — the peak k-mer set is tiny (~3 per peak
+position), so device searchsorted gathers beat a 16 GB HBM-resident map.
+The sequential per-pair greedy genome selection (judge_base, cpp:118-159) runs
+as a lax.scan over read positions with a fixed G-slot genome register,
+vectorized over the pair batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import numpy as np
+
+from localhgt_tpu.ops import encode
+
+
+@dataclass
+class PeakSet:
+    """Peak ids are 1-based; index 0 of every array is a sentinel."""
+
+    contig: np.ndarray       # int32 [P+1] contig id of each peak
+    pos: np.ndarray          # int64 [P+1] representative position
+    sorted_hash: np.ndarray  # uint32 [K] peak k-mer hashes (sorted)
+    sorted_peak: np.ndarray  # int32 [K] peak id per hash
+
+    @property
+    def n(self) -> int:
+        return len(self.contig) - 1
+
+
+def build_peakset(per_contig, contig_codes_fn, tables_host, masks, k) -> PeakSet:
+    """Collect peaks + their k-mers.
+
+    Args:
+        per_contig: list of (contig_id, positions, groups) from
+            scan.peaks_in_intervals, in contig order.
+        contig_codes_fn: contig_id -> uint8 code array.
+        tables_host: list of numpy count tables (or callables hash->count).
+        masks: hash masks.
+
+    The hash->peak map keeps the *last* writer for duplicate hashes, matching
+    the reference's overwrite of peak_kmer[hash] in scan order (add_peak,
+    cpp:239-286).
+    """
+    contigs = [0]
+    positions = [0]
+    all_hashes = []
+    all_peaks = []
+    pid = 0
+    coder_num = masks.shape[0]
+    for cid, pos_list, groups in per_contig:
+        if not pos_list:
+            continue
+        codes = contig_codes_fn(cid)
+        for rep, members in zip(pos_list, groups):
+            pid += 1
+            contigs.append(cid)
+            positions.append(rep)
+            mem = np.asarray(members, dtype=np.int64)
+            # k-mers only exist for positions <= len-k (add_peak bounds check,
+            # cpp:247,262: near_pos <= ref_len-k+1)
+            mem = mem[mem <= len(codes) - k]
+            if len(mem) == 0:
+                continue
+            win = codes[mem[:, None] + np.arange(k)[None, :]]
+            h, v = encode.canonical_hashes(np, win, masks, k)  # [C, n, k] pos0
+            for i in range(coder_num):
+                hv = h[i, :, 0]
+                ok = v[:, 0] & (hv != 0)
+                cnt = tables_host[i][hv[ok].astype(np.int64)]
+                keep = hv[ok][cnt > 0]
+                all_hashes.append(keep.astype(np.uint32))
+                all_peaks.append(np.full(len(keep), pid, np.int32))
+    if all_hashes:
+        hs = np.concatenate(all_hashes)
+        ps = np.concatenate(all_peaks)
+        # keep last writer per hash (stable sort by hash; last index wins)
+        order = np.argsort(hs, kind="stable")
+        hs, ps = hs[order], ps[order]
+        last = np.ones(len(hs), bool)
+        last[:-1] = hs[1:] != hs[:-1]
+        hs, ps = hs[last], ps[last]
+    else:
+        hs = np.zeros(0, np.uint32)
+        ps = np.zeros(0, np.int32)
+    return PeakSet(
+        contig=np.asarray(contigs, np.int32),
+        pos=np.asarray(positions, np.int64),
+        sorted_hash=hs,
+        sorted_peak=ps,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "min_base_num", "n_slots"))
+def split_vote_batch(
+    peak_filter,
+    codes1, len1, codes2, len2, accept,
+    masks, sorted_hash, sorted_peak, peak_contig,
+    k: int, min_base_num: int = 6, n_slots: int = 8,
+):
+    """One device step of the split-read vote (slide_reads, cpp:313-506).
+
+    Args:
+        peak_filter: int32 [P+1] vote counts (index 0 = sentinel).
+        codes1/codes2: uint8 [B, L] mate code batches.
+        accept: bool [B] down-sampling mask (same stream as counting).
+    Returns updated peak_filter.
+    """
+    import jax.numpy as jnp
+
+    B = codes1.shape[0]
+    K = sorted_hash.shape[0]
+
+    def candidates(codes, lengths):
+        h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
+        L = codes.shape[-1]
+        inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
+        v = v & inwin
+        idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))
+        found = (sorted_hash[idx] == h) if K else jnp.zeros_like(h, bool)
+        pk = sorted_peak[idx] if K else jnp.zeros(h.shape, jnp.int32)
+        ok = found & v[None, :, :]
+        pk = jnp.where(ok, pk, 0)
+        return pk  # [C, B, L], 0 = no peak
+
+    pk1 = candidates(codes1, len1)
+    pk2 = candidates(codes2, len2)
+    pk = jnp.concatenate([pk1, pk2], axis=2)          # [C, B, P]
+    genome = peak_contig[pk]                           # [C, B, P] (0 sentinel)
+    pk = jnp.transpose(pk, (2, 1, 0))                  # [P, B, C]
+    genome = jnp.transpose(genome, (2, 1, 0))
+
+    G = n_slots
+    C = pk.shape[-1]
+
+    def step(state, inp):
+        slots_g, slots_c, slots_p, hits = state
+        cg, cp = inp  # [B, C]
+        sel_g = jnp.zeros(B, jnp.int32)
+        sel_cnt = jnp.zeros(B, jnp.int32)
+        sel_p = jnp.zeros(B, jnp.int32)
+        for c in range(C):
+            g = cg[:, c]
+            p = cp[:, c]
+            is_cand = p != 0
+            match = slots_g == g[:, None]              # [B, G]
+            seen = jnp.any(match & (slots_g != 0), axis=1)
+            cnt = jnp.max(jnp.where(match, slots_c, 0), axis=1)
+            take_seen = is_cand & seen & (cnt >= sel_cnt)
+            take_new = is_cand & ~seen & (sel_p == 0)
+            take = take_seen | take_new
+            sel_g = jnp.where(take, g, sel_g)
+            sel_cnt = jnp.where(take_seen, cnt, jnp.where(take_new, 0, sel_cnt))
+            sel_p = jnp.where(take, p, sel_p)
+        # update register
+        do = sel_p != 0
+        match = slots_g == sel_g[:, None]
+        have = jnp.any(match & (slots_g != 0), axis=1)
+        inc = match & (slots_g != 0) & do[:, None]
+        slots_c = slots_c + inc.astype(jnp.int32)
+        empty = slots_g == 0
+        first_empty = empty & (jnp.cumsum(empty.astype(jnp.int32), axis=1) == 1)
+        ins = first_empty & (do & ~have)[:, None]
+        slots_g = jnp.where(ins, sel_g[:, None], slots_g)
+        slots_c = jnp.where(ins, 1, slots_c)
+        slots_p = jnp.where(ins, sel_p[:, None], slots_p)
+        hits = hits + do.astype(jnp.int32)
+        return (slots_g, slots_c, slots_p, hits), None
+
+    init = (
+        jnp.zeros((B, G), jnp.int32),
+        jnp.zeros((B, G), jnp.int32),
+        jnp.zeros((B, G), jnp.int32),
+        jnp.zeros(B, jnp.int32),
+    )
+    (slots_g, slots_c, slots_p, hits), _ = jax.lax.scan(step, init, (genome, pk))
+
+    qual = (slots_c >= min_base_num) & (slots_g != 0)
+    nq = jnp.sum(qual, axis=1)
+    gate = accept & (hits >= min_base_num) & (nq >= 2)
+    counts = jnp.where(qual, slots_c, 0)
+    largest = jnp.max(counts, axis=1)
+    n_largest = jnp.sum(counts == largest[:, None], axis=1)
+    second_cand = jnp.max(jnp.where(counts == largest[:, None], 0, counts), axis=1)
+    second = jnp.where(n_largest > 1, largest, second_cand)
+    vote = qual & ((counts == largest[:, None]) | (counts == second[:, None])) \
+        & gate[:, None]
+    ids = jnp.where(vote, slots_p, 0).reshape(-1)
+    return peak_filter.at[ids].add(1)

@@ -9,10 +9,17 @@ the real chip instead.
 
 import os
 
-if not os.environ.get("LHT_TEST_TPU"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if not os.environ.get("LHT_TEST_TPU"):
+    # The axon sitecustomize registers the tunneled TPU backend at interpreter
+    # startup and pins jax_platforms=axon; the env var alone cannot override
+    # it, so counter-update the config before any backend initializes.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
