@@ -25,6 +25,9 @@ class KmerConfig:
     seed: int = 1                   # PRNG seed for coder permutation (localhgt.py:62)
     least_depth: int = 3            # saturating count cap (extract_ref_normal_peak.cpp:23)
     sample: float = 2e9             # down-sample: <=1 proportion, >1 target bp (localhgt.py:61)
+    strict_sampling: bool = False   # bit-exact glibc-rand down-sampling stream
+    #                                 (get_random, cpp:1332-1340) instead of
+    #                                 the default counter-hash stream
 
     @property
     def table_size(self) -> int:

@@ -116,16 +116,32 @@ def downsample_ratio(sample: float, fq1: str) -> float:
     return min(1.0, float(sample) / total)
 
 
-def accept_mask(start_ordinal: int, n: int, ratio: float, seed: int) -> np.ndarray:
+_MAX_RANDOM_NUM = 50_000_000  # reference MAX_RANDOM_NUM (cpp:40)
+_glibc_cache: dict[int, np.ndarray] = {}
+
+
+def accept_mask(start_ordinal: int, n: int, ratio: float, seed: int,
+                strict: bool = False) -> np.ndarray:
     """Deterministic per-read-ordinal down-sampling.
 
     The reference uses a pregenerated 50M-float glibc rand array indexed by
     read ordinal (get_random, cpp:1332-1340) so acceptance is independent of
-    thread count. We keep the ordinal-keyed determinism but use a counter-mode
-    hash (splitmix64) — same property, no 200 MB side table.
+    thread count. Default mode keeps the ordinal-keyed determinism with a
+    counter-mode hash (splitmix64) — same property, no 200 MB side table.
+    strict=True reproduces the reference array bit-for-bit (the stream state
+    matching a run where the index already exists, i.e. random_coder consumed
+    no rand() calls — cpp:1404-1422).
     """
     if ratio >= 1.0:
         return np.ones(n, bool)
+    if strict:
+        if seed not in _glibc_cache:
+            from localhgt_tpu.io import native
+
+            _glibc_cache[seed] = native.glibc_random_array(seed, _MAX_RANDOM_NUM)
+        arr = _glibc_cache[seed]
+        idx = (np.arange(start_ordinal, start_ordinal + n) % _MAX_RANDOM_NUM)
+        return arr[idx] < ratio * 100.0
     x = (np.arange(start_ordinal, start_ordinal + n, dtype=np.uint64)
          + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)

@@ -161,6 +161,59 @@ def sw_score(query, ref, match=1, mismatch=-2, gap_open=-3, gap_ext=-1):
     return jnp.maximum(jnp.max(rowmax, axis=0), 0)
 
 
+SW_TILE = 8192  # max rows per device DP call; while-body temps scale with B
+#                 and overflow VMEM on TPU beyond ~16k x 256 int32 carries
+
+
+def sw_align_tiled(query, ref, tile: int = SW_TILE, **kw):
+    """sw_align in host-tiled sub-batches; returns numpy dict."""
+    import numpy as np
+
+    B = query.shape[0]
+    if B <= tile:
+        out = sw_align(query, ref, **kw)
+        return {k: np.asarray(v) for k, v in out.items()}
+    outs = []
+    for lo in range(0, B, tile):
+        hi = min(B, lo + tile)
+        q = query[lo:hi]
+        r = ref[lo:hi]
+        if hi - lo < tile:  # pad so the kernel keeps one compiled shape
+            import numpy as _np
+
+            q = _np.concatenate(
+                [_np.asarray(q), _np.full((tile - (hi - lo), q.shape[1]), 4, _np.uint8)]
+            )
+            r = _np.concatenate(
+                [_np.asarray(r), _np.full((tile - (hi - lo), r.shape[1]), 4, _np.uint8)]
+            )
+        out = sw_align(q, r, **kw)
+        outs.append({k: np.asarray(v)[: hi - lo] for k, v in out.items()})
+    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+
+def sw_score_tiled(query, ref, tile: int = SW_TILE, **kw):
+    import numpy as np
+
+    B = query.shape[0]
+    if B <= tile:
+        return np.asarray(sw_score(query, ref, **kw))
+    outs = []
+    for lo in range(0, B, tile):
+        hi = min(B, lo + tile)
+        q = query[lo:hi]
+        r = ref[lo:hi]
+        if hi - lo < tile:
+            q = np.concatenate(
+                [np.asarray(q), np.full((tile - (hi - lo), q.shape[1]), 4, np.uint8)]
+            )
+            r = np.concatenate(
+                [np.asarray(r), np.full((tile - (hi - lo), r.shape[1]), 4, np.uint8)]
+            )
+        outs.append(np.asarray(sw_score(q, r, **kw))[: hi - lo])
+    return np.concatenate(outs)
+
+
 def sw_align_np(query, ref, match=1, mismatch=-4, gap_open=-6, gap_ext=-1):
     """Plain O(MN) numpy DP for tests: returns (score, qs, qe, rs, re)."""
     import numpy as np

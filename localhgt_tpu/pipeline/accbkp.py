@@ -294,8 +294,8 @@ def _window_scores(seq: np.ndarray, contig_codes: np.ndarray, lo: int, hi: int,
     wins = np.where(oob, 4, wins).astype(np.uint8)
     if revcomp_ref:
         wins = coder.COMPLEMENT[wins][:, ::-1]
-    q = np.broadcast_to(seq[None, :], (n, sl))
-    scores = np.asarray(swmod.sw_score(jnp.asarray(q.copy()), jnp.asarray(wins)))
+    q = np.broadcast_to(seq[None, :], (n, sl)).copy()
+    scores = swmod.sw_score_tiled(q, wins)
     return scores.astype(np.float32) / sl
 
 

@@ -341,16 +341,16 @@ def align_batch(
         q_sel = np.full((n_pad, L), 4, np.uint8)
         strands = strand_c.reshape(-1)[sel]
         q_sel[:n_sel] = np.where(strands[:, None] == 1, rc[b_idx], codes[b_idx])
-        out = swmod.sw_align(
-            jnp.asarray(q_sel), jnp.asarray(ref_w),
+        out = swmod.sw_align_tiled(
+            q_sel, ref_w,
             match=cfg.match, mismatch=cfg.mismatch,
             gap_open=cfg.gap_open, gap_ext=cfg.gap_extend,
         )
-        score[b_idx, c_idx] = np.asarray(out["score"])[:n_sel]
-        qs[b_idx, c_idx] = np.asarray(out["qstart"])[:n_sel]
-        qe[b_idx, c_idx] = np.asarray(out["qend"])[:n_sel]
-        rs[b_idx, c_idx] = np.asarray(out["rstart"])[:n_sel] + ws
-        re_[b_idx, c_idx] = np.asarray(out["rend"])[:n_sel] + ws
+        score[b_idx, c_idx] = out["score"][:n_sel]
+        qs[b_idx, c_idx] = out["qstart"][:n_sel]
+        qe[b_idx, c_idx] = out["qend"][:n_sel]
+        rs[b_idx, c_idx] = out["rstart"][:n_sel] + ws
+        re_[b_idx, c_idx] = out["rend"][:n_sel] + ws
 
     # --- primary selection ---
     prim = np.argmax(score, axis=1)

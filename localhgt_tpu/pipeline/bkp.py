@@ -55,6 +55,11 @@ def detect_breakpoint(
     if use_kmer:
         res = extract.extract(fq1, fq2, contigs, cfg)
         intervals = res.intervals
+        # numeric interval file + .bed, same formats as extract_ref +
+        # get_bed_file.py produce (pipeline.sh:35-36)
+        with open(os.path.join(outdir, f"{sample}.interval.txt"), "w") as f:
+            for cid, s, e in intervals:
+                f.write(f"{cid}\t{s}\t{e}\n")
         with open(os.path.join(outdir, f"{sample}.interval.txt.bed"), "w") as f:
             f.write("\n".join(res.bed) + ("\n" if res.bed else ""))
         log.info("extraction: %d intervals (%.1fs)", len(intervals), time.time() - t0)

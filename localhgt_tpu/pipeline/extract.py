@@ -74,7 +74,8 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
         for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
             if width is None:
                 width = _batch_width(b.codes.shape[1])
-            acc = fastq.accept_mask(b.start_ordinal, b.n, ratio, cfg.kmer.seed)
+            acc = fastq.accept_mask(b.start_ordinal, b.n, ratio,
+                                    cfg.kmer.seed, cfg.kmer.strict_sampling)
             codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
             tables = count.count_reads_step(
                 tables, jnp.asarray(codes), jnp.asarray(lengths),
@@ -166,7 +167,8 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
         if width is None:
             width = _batch_width(max(b1.codes.shape[1], b2.codes.shape[1]))
-        acc = fastq.accept_mask(b1.start_ordinal, b1.n, ratio, cfg.kmer.seed)
+        acc = fastq.accept_mask(b1.start_ordinal, b1.n, ratio,
+                                cfg.kmer.seed, cfg.kmer.strict_sampling)
         c1, l1, acc_p = _pad_read_batch(b1, acc, batch_reads, width)
         c2, l2, _ = _pad_read_batch(b2, acc, batch_reads, width)
         peak_filter = peaks_mod.split_vote_batch(
