@@ -55,9 +55,11 @@ def main():
     truth = read_truth(truth_path)
     n_pairs = sum(1 for _ in open(fq1)) // 4
 
-    # k chosen so the 3 count tables fit alongside workspace on the chip;
-    # k=32 is the production default on >=16GB HBM per-table budget permitting
-    k = int(os.environ.get("LHT_BENCH_K", "26"))
+    # k sets both k-mer length and table bits (reference couples them); small
+    # k collides heavily (the count_diff_kmer study's point), inflating the
+    # extraction stage. k=30 -> 3x1GB int8 tables on-chip; k=32 (12GB) needs
+    # the per-hash sequential mode.
+    k = int(os.environ.get("LHT_BENCH_K", "30"))
     cfg = Config().replace(kmer=KmerConfig(k=k))
 
     from localhgt_tpu.pipeline.bkp import detect_breakpoint

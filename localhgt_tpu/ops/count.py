@@ -7,10 +7,17 @@ deterministic scatter-add:
 
   * per batch, each index's contribution is capped at `cap` by ranking
     duplicates within the sorted batch (so int8 can never overflow), then
-  * a single `at[].add` scatter plus a clip reproduces exactly
+  * a scatter-add plus a (deferrable) clip reproduces exactly
     final_count = min(total_occurrences, cap) — the single-threaded reference
     semantics (SURVEY.md section 5 "race detection": the rebuild replaces the
     benign data race with deterministic merges).
+
+Tables are shaped [shards, 2^min(k,30)] because XLA gather/scatter indices
+(and jax's index-normalization constants) are int32: at k=32 the 2^32 hash
+space splits on the top two bits. For k <= 30 the shard dimension is 1 and
+costs nothing. The single hash value 0xFFFFFFFF
+doubles as the invalid sentinel (a degenerate all-ones k-mer code; the
+reference similarly treats index 0 as unusable, read_index cpp:936-941).
 
 Multi-chip: per-shard tables merge with a saturating collective
 (min(psum(local), cap)) — see localhgt_tpu.parallel.mesh.
@@ -25,62 +32,78 @@ import jax.numpy as jnp
 
 from localhgt_tpu.ops import encode
 
+TABLE_BITS = 30  # shard width 2^30: jax index normalization builds int32 consts of the axis size
+SENTINEL = jnp.uint32(0xFFFFFFFF)
 
-def capped_batch_delta(idx: jnp.ndarray, valid: jnp.ndarray, cap: int, table_size: int):
+
+def make_table(k: int) -> jnp.ndarray:
+    shards = 1 << max(0, k - TABLE_BITS)
+    width = 1 << min(k, TABLE_BITS)
+    return jnp.zeros((shards, width), dtype=jnp.int8)
+
+
+def table_lookup(table, h):
+    """Gather counts for uint32 hashes from a sharded table."""
+    if table.shape[0] == 1:
+        # k <= 30: every hash < 2^30 fits int32; 1-D gather on the flat view
+        return table.reshape(-1)[h.astype(jnp.int32)]
+    hi = (h >> jnp.uint32(TABLE_BITS)).astype(jnp.int32)
+    lo = (h & jnp.uint32((1 << TABLE_BITS) - 1)).astype(jnp.int32)
+    return table[hi, lo]
+
+
+def capped_batch_delta(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
     """Return (sorted_idx, delta int8) with per-index delta = min(count, cap).
 
-    Invalid entries are routed to index `table_size` (one past the end) and
-    dropped by the scatter's OOB mode.
+    Invalid entries map to SENTINEL and are dropped at scatter time.
     """
     flat_idx = jnp.where(valid.reshape(-1), idx.reshape(-1).astype(jnp.uint32),
-                         jnp.uint32(table_size))
+                         SENTINEL)
     s = jnp.sort(flat_idx)
     n = s.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
-    # index of the first element of each run, via running max
     run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
     rank = pos - run_start
-    contrib = ((rank < cap) & (s != jnp.uint32(table_size))).astype(jnp.int8)
+    contrib = ((rank < cap) & (s != SENTINEL)).astype(jnp.int8)
     return s, contrib
 
 
-@partial(jax.jit, static_argnums=3)
-def _update(table, sorted_idx, contrib, cap):
-    table = table.at[sorted_idx].add(contrib, mode="drop")
-    return jnp.minimum(table, jnp.int8(cap))
+def scatter_delta(table, s, contrib):
+    """Scatter sorted hashes + capped deltas into a sharded table.
 
-
-def make_table(k: int) -> jnp.ndarray:
-    return jnp.zeros(1 << k, dtype=jnp.int8)
+    The single-shard (k <= 30) path stays a 1-D scatter on the flat view —
+    the 2-D advanced-indexing form compiles to a far slower TPU scatter."""
+    n_shards, width = table.shape
+    if n_shards == 1:
+        lo = jnp.where(s == SENTINEL, jnp.int32(width), s.astype(jnp.int32))
+        flat = table.reshape(-1).at[lo].add(contrib, mode="drop")
+        return flat.reshape(1, width)
+    hi = (s >> jnp.uint32(TABLE_BITS)).astype(jnp.int32)
+    hi = jnp.where(s == SENTINEL, jnp.int32(n_shards), hi)  # OOB -> dropped
+    lo = (s & jnp.uint32((1 << TABLE_BITS) - 1)).astype(jnp.int32)
+    return table.at[hi, lo].add(contrib, mode="drop")
 
 
 def count_batch(table, hashes, valid, cap: int = 3):
-    """Scatter one batch of canonical hashes into the count table.
-
-    Args:
-        table: int8 [2^k] device array (single hash function's table).
-        hashes: uint32 [...] canonical k-mer indices.
-        valid: bool [...] same shape; invalid entries ignored.
-    """
-    s, contrib = capped_batch_delta(hashes, valid, cap, table.shape[0])
-    return _update(table, s, contrib, cap)
+    """Scatter one batch of canonical hashes into the count table."""
+    s, contrib = capped_batch_delta(hashes, valid, cap)
+    table = scatter_delta(table, s, contrib)
+    return jnp.minimum(table, jnp.int8(cap))
 
 
-@partial(jax.jit, static_argnames=("k", "cap"), donate_argnums=(0,))
-def count_reads_step(tables, codes, lengths, accept, masks, k: int, cap: int = 3):
+@partial(jax.jit, static_argnames=("k", "cap", "clip"), donate_argnums=(0,))
+def count_reads_step(tables, codes, lengths, accept, masks, k: int,
+                     cap: int = 3, clip: bool = True):
     """One fused device step: hash a read batch and update all hash tables.
 
     Fully jitted (single dispatch per batch — essential when the device sits
     behind a network tunnel) and donating the tables so updates are in-place.
 
-    Args:
-        tables: tuple of int8 [2^k] tables, one per hash function.
-        codes: uint8 [B, L] base codes, padded with N (=4).
-        lengths: int32 [B] true read lengths.
-        accept: bool [B] down-sampling acceptance per read
-            (reference get_random/read_fastq:1037-1044).
-        masks: uint32 [coder_num, 3] hash masks.
+    clip=False defers the saturating sweep: per-batch deltas are <= cap, so
+    int8 values stay bounded for ~(127/cap) batches and a periodic
+    clip_tables() restores min(total, cap) exactly (deltas of k-mers below
+    cap are uncapped, so the final clip loses nothing).
     """
     hashes, valid = encode.canonical_hashes(jnp, codes, masks, k)
     L = codes.shape[-1]
@@ -89,7 +112,22 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int, cap: int = 3
     valid = valid & inwin & accept[:, None]
     new_tables = []
     for i, t in enumerate(tables):
-        s, contrib = capped_batch_delta(hashes[i], valid, cap, t.shape[0])
-        t = t.at[s].add(contrib, mode="drop")
-        new_tables.append(jnp.minimum(t, jnp.int8(cap)))
+        s, contrib = capped_batch_delta(hashes[i], valid, cap)
+        t = scatter_delta(t, s, contrib)
+        if clip:
+            t = jnp.minimum(t, jnp.int8(cap))
+        new_tables.append(t)
     return tuple(new_tables)
+
+
+@partial(jax.jit, static_argnames=("cap",), donate_argnums=(0,))
+def clip_tables(tables, cap: int = 3):
+    return tuple(jnp.minimum(t, jnp.int8(cap)) for t in tables)
+
+
+def table_lookup_np(table_host, h):
+    """Host-side lookup on np.asarray(table) ([shards, width])."""
+    import numpy as np
+
+    flat = table_host.reshape(-1)
+    return flat[np.asarray(h, dtype=np.int64)]

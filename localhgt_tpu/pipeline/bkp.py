@@ -47,7 +47,10 @@ def detect_breakpoint(
     cfg = cfg or Config()
     os.makedirs(outdir, exist_ok=True)
     t0 = time.time()
-    logging.basicConfig(level=logging.INFO)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(message)s", datefmt="%H:%M:%S",
+    )
 
     contigs = reference.build(ref_path)
     log.info("reference: %d contigs, %d bp", contigs.n, len(contigs.codes))

@@ -70,6 +70,8 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
     masks_j = jnp.asarray(masks)
     n_pairs = 0
     width = None
+    since_clip = 0
+    clip_every = max(1, 120 // max(cfg.kmer.least_depth, 1) - 2)
     for path in (fq1, fq2):
         for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
             if width is None:
@@ -79,10 +81,15 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
             codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
             tables = count.count_reads_step(
                 tables, jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth,
+                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth, clip=False,
             )
+            since_clip += 1
+            if since_clip >= clip_every:  # int8 headroom: deltas <= cap/batch
+                tables = count.clip_tables(tables, cfg.kmer.least_depth)
+                since_clip = 0
             if path == fq1:
                 n_pairs += b.n
+    tables = count.clip_tables(tables, cfg.kmer.least_depth)
     return tables, ratio, n_pairs
 
 
@@ -101,7 +108,7 @@ def _scan_chunk(tables, codes, true_len, masks, k, scan_cfg, least_depth):
     h, v = encode.canonical_hashes(jnp, codes, masks, k)
     rows = []
     for i, t in enumerate(tables):
-        cnt = t[h[i]]
+        cnt = count.table_lookup(t, h[i])
         rows.append(jnp.where(v & (h[i] != 0), cnt, 0))
     hc = jnp.stack(rows).astype(jnp.int8)
     return scan.scan_hits(jnp, hc, k, scan_cfg, least_depth, true_len=true_len)
@@ -185,24 +192,40 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
 def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractResult:
     masks, _ = encode.hasher_for(cfg.kmer.k, cfg.kmer.coder_num, cfg.kmer.seed)
 
+    import time as _time
+
+    t = _time.time()
     log.info("stage A: k-mer counting")
     tables, ratio, n_pairs = count_kmers(fq1, fq2, masks, cfg)
-    log.info("counted %d pairs (ratio %.4f)", n_pairs, ratio)
+    import jax as _jax
+    _jax.block_until_ready(tables)
+    log.info("counted %d pairs (ratio %.4f) in %.1fs", n_pairs, ratio,
+             _time.time() - t)
 
+    t = _time.time()
     log.info("stage B: reference scan")
     per_contig = scan_reference(tables, contigs, masks, cfg)
     n_raw = sum(len(p) for _, p, _ in per_contig)
-    log.info("raw candidate peaks: %d", n_raw)
+    log.info("raw candidate peaks: %d in %.1fs", n_raw, _time.time() - t)
 
-    tables_host = [np.asarray(t) for t in tables]
+    t = _time.time()
+    import jax.numpy as jnp
+
+    def count_lookup(i, hashes):
+        if len(hashes) == 0:
+            return np.zeros(0, np.int8)
+        return count.table_lookup(tables[i], jnp.asarray(hashes))
+
     pset = peaks_mod.build_peakset(
-        per_contig, lambda cid: contigs.contig_codes(cid), tables_host,
+        per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
         masks, cfg.kmer.k,
     )
-    del tables_host
+    log.info("peakset built in %.1fs", _time.time() - t)
 
+    t = _time.time()
     log.info("stage C: split-read vote over %d peaks", pset.n)
     votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio)
+    log.info("vote pass in %.1fs", _time.time() - t)
 
     kept = np.flatnonzero(votes[1:] >= cfg.scan.min_reads) + 1
     contig_lens = {cid: contigs.length_of(cid) for cid in range(1, contigs.n + 1)}

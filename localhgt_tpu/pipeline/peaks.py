@@ -42,14 +42,15 @@ class PeakSet:
         return len(self.contig) - 1
 
 
-def build_peakset(per_contig, contig_codes_fn, tables_host, masks, k) -> PeakSet:
+def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSet:
     """Collect peaks + their k-mers.
 
     Args:
         per_contig: list of (contig_id, positions, groups) from
             scan.peaks_in_intervals, in contig order.
         contig_codes_fn: contig_id -> uint8 code array.
-        tables_host: list of numpy count tables (or callables hash->count).
+        count_lookup: (hash_fn_index, uint32 hashes) -> counts; typically a
+            device gather so the multi-GB tables never leave HBM.
         masks: hash masks.
 
     The hash->peak map keeps the *last* writer for duplicate hashes, matching
@@ -66,6 +67,9 @@ def build_peakset(per_contig, contig_codes_fn, tables_host, masks, k) -> PeakSet
         if not pos_list:
             continue
         codes = contig_codes_fn(cid)
+        # flatten this contig's groups into one batched hash computation
+        mem_all = []
+        pid_all = []
         for rep, members in zip(pos_list, groups):
             pid += 1
             contigs.append(cid)
@@ -74,17 +78,23 @@ def build_peakset(per_contig, contig_codes_fn, tables_host, masks, k) -> PeakSet
             # k-mers only exist for positions <= len-k (add_peak bounds check,
             # cpp:247,262: near_pos <= ref_len-k+1)
             mem = mem[mem <= len(codes) - k]
-            if len(mem) == 0:
-                continue
-            win = codes[mem[:, None] + np.arange(k)[None, :]]
-            h, v = encode.canonical_hashes(np, win, masks, k)  # [C, n, k] pos0
-            for i in range(coder_num):
-                hv = h[i, :, 0]
-                ok = v[:, 0] & (hv != 0)
-                cnt = tables_host[i][hv[ok].astype(np.int64)]
-                keep = hv[ok][cnt > 0]
-                all_hashes.append(keep.astype(np.uint32))
-                all_peaks.append(np.full(len(keep), pid, np.int32))
+            mem_all.append(mem)
+            pid_all.append(np.full(len(mem), pid, np.int32))
+        if not mem_all:
+            continue
+        mem = np.concatenate(mem_all)
+        pids = np.concatenate(pid_all)
+        if len(mem) == 0:
+            continue
+        win = codes[mem[:, None] + np.arange(k)[None, :]]
+        h, v = encode.canonical_hashes(np, win, masks, k)  # [C, n, k] pos 0
+        for i in range(coder_num):
+            hv = h[i, :, 0]
+            ok = v[:, 0] & (hv != 0)
+            cnt = np.asarray(count_lookup(i, hv[ok]))
+            keep = cnt > 0
+            all_hashes.append(hv[ok][keep].astype(np.uint32))
+            all_peaks.append(pids[ok][keep])
     if all_hashes:
         hs = np.concatenate(all_hashes)
         ps = np.concatenate(all_peaks)
@@ -141,15 +151,27 @@ def split_vote_batch(
     pk2 = candidates(codes2, len2)
     pk = jnp.concatenate([pk1, pk2], axis=2)          # [C, B, P]
     genome = peak_contig[pk]                           # [C, B, P] (0 sentinel)
-    pk = jnp.transpose(pk, (2, 1, 0))                  # [P, B, C]
-    genome = jnp.transpose(genome, (2, 1, 0))
+    # pad position axis to a multiple of UNROLL, then scan over position
+    # blocks with the sequential greedy unrolled inside the step body — the
+    # per-position work is tiny, so fewer+fatter scan steps cut dispatch
+    # latency ~8x on a remote device
+    UNROLL = 8
+    P = pk.shape[-1]
+    pad = (-P) % UNROLL
+    if pad:
+        z = jnp.zeros(pk.shape[:2] + (pad,), pk.dtype)
+        pk = jnp.concatenate([pk, z], axis=2)
+        genome = jnp.concatenate([genome, z], axis=2)
+    nblk = pk.shape[-1] // UNROLL
+    # [nblk, UNROLL, B, C]
+    pk = jnp.transpose(pk, (2, 1, 0)).reshape(nblk, UNROLL, B, -1)
+    genome = jnp.transpose(genome, (2, 1, 0)).reshape(nblk, UNROLL, B, -1)
 
     G = n_slots
     C = pk.shape[-1]
 
-    def step(state, inp):
+    def one_position(state, cg, cp):
         slots_g, slots_c, slots_p, hits = state
-        cg, cp = inp  # [B, C]
         sel_g = jnp.zeros(B, jnp.int32)
         sel_cnt = jnp.zeros(B, jnp.int32)
         sel_p = jnp.zeros(B, jnp.int32)
@@ -166,7 +188,6 @@ def split_vote_batch(
             sel_g = jnp.where(take, g, sel_g)
             sel_cnt = jnp.where(take_seen, cnt, jnp.where(take_new, 0, sel_cnt))
             sel_p = jnp.where(take, p, sel_p)
-        # update register
         do = sel_p != 0
         match = slots_g == sel_g[:, None]
         have = jnp.any(match & (slots_g != 0), axis=1)
@@ -179,7 +200,13 @@ def split_vote_batch(
         slots_c = jnp.where(ins, 1, slots_c)
         slots_p = jnp.where(ins, sel_p[:, None], slots_p)
         hits = hits + do.astype(jnp.int32)
-        return (slots_g, slots_c, slots_p, hits), None
+        return (slots_g, slots_c, slots_p, hits)
+
+    def step(state, inp):
+        cg_blk, cp_blk = inp  # [UNROLL, B, C]
+        for u in range(UNROLL):
+            state = one_position(state, cg_blk[u], cp_blk[u])
+        return state, None
 
     init = (
         jnp.zeros((B, G), jnp.int32),

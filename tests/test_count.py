@@ -23,7 +23,7 @@ def test_count_batch_caps_and_saturates():
     valid[4000:] = False
 
     table = count.count_batch(table, jnp.asarray(idx), jnp.asarray(valid))
-    got = np.asarray(table)
+    got = np.asarray(table).reshape(-1)
 
     exp = np.zeros(1 << k, np.int64)
     np.add.at(exp, idx[valid], 1)
@@ -43,7 +43,7 @@ def test_count_batch_accumulates_across_batches():
         table = count.count_batch(table, jnp.asarray(idx), jnp.asarray(valid))
         np.add.at(total, idx[valid], 1)
     np.testing.assert_array_equal(
-        np.asarray(table), np.minimum(total, 3).astype(np.int8)
+        np.asarray(table).reshape(-1), np.minimum(total, 3).astype(np.int8)
     )
 
 
@@ -77,5 +77,28 @@ def test_count_reads_step_end_to_end():
             np.add.at(exp[i], h[v, i].astype(np.int64), 1)
     for i in range(3):
         np.testing.assert_array_equal(
-            np.asarray(tables[i]), np.minimum(exp[i], 3).astype(np.int8)
+            np.asarray(tables[i]).reshape(-1), np.minimum(exp[i], 3).astype(np.int8)
         )
+
+
+def test_sharded_table_layout_k32_semantics():
+    """k=32 splits the table on the top hash bit; counts land in the right
+    shard and the sentinel never pollutes index 0."""
+    import jax.numpy as jnp
+
+    t = count.make_table(32)
+    assert t.shape == (4, 1 << 30)
+    idx = np.array([5, 5, 5, (1 << 31) + 9, (3 << 30) + 7, 0xFFFFFFFE],
+                   dtype=np.uint32)
+    valid = np.array([True, True, True, True, True, False])
+    s, contrib = count.capped_batch_delta(jnp.asarray(idx), jnp.asarray(valid), 3)
+    t = count.scatter_delta(t, s, contrib)
+    h = jnp.asarray(idx[:5])
+    looked = np.asarray(count.table_lookup(t, h))
+    t = np.asarray(t)
+    assert t[0, 5] == 3
+    assert t[2, 9] == 1
+    assert t[3, 7] == 1
+    assert t[0, 0] == 0
+    assert t[3, (1 << 30) - 2] == 0  # invalid entry dropped
+    np.testing.assert_array_equal(looked, [3, 3, 3, 1, 1])

@@ -100,8 +100,9 @@ def test_good_intervals_state_machine():
     good[75:80] = True      # within merge distance after padding
     good[150:200] = True    # open at the end
     ivs = scan.good_intervals(good, window, pad=2 * window)
-    # first two runs: [30, 80+20] merged since 55 < prev_end + window
-    assert ivs[0] == (30, 99)
+    # run [50,60): start=50-20=30, end=(fall idx 60)+20=80; run [75,80):
+    # start=55 < 80+window -> merges, end extends to 80+20=100
+    assert ivs[0] == (30, 100)
     assert ivs[-1] == (130, 200)
 
 
