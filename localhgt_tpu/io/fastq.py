@@ -47,12 +47,27 @@ def _gather_lines(buf, starts, ends, lmax):
 
 
 def iter_fastq_batches(
-    path: str, batch_reads: int = 1 << 18, max_len: int = 512
+    path: str, batch_reads: int = 1 << 18, max_len: int = 512,
+    use_native: bool | None = None,
 ) -> Iterator[ReadBatch]:
     """Stream a FASTQ file as padded code batches.
 
-    Reads the file in large chunks aligned to 4-line record boundaries.
+    Uses the C++ block reader (localhgt_tpu.io.native) when available unless
+    use_native=False; falls back to chunked numpy parsing.
     """
+    if use_native is None:
+        use_native = os.environ.get("LHT_NATIVE_IO", "1") != "0"
+    if use_native:
+        from localhgt_tpu.io import native
+
+        if native.available():
+            for codes, lengths, start in native.iter_fastq_blocks(
+                path, max_reads=batch_reads, width=max_len
+            ):
+                # trim the uniform width down to this block's longest read
+                w = int(lengths.max()) if len(lengths) else 1
+                yield ReadBatch(codes[:, :w], lengths, start)
+            return
     chunk_bytes = 1 << 26
     carry = b""
     ordinal = 0

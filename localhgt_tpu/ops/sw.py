@@ -165,52 +165,68 @@ SW_TILE = 8192  # max rows per device DP call; while-body temps scale with B
 #                 and overflow VMEM on TPU beyond ~16k x 256 int32 carries
 
 
+_FIELDS = ("score", "qstart", "qend", "rstart", "rend")
+
+
+@partial(jax.jit, static_argnames=("match", "mismatch", "gap_open", "gap_ext"))
+def _sw_align_packed(query, ref, match=1, mismatch=-4, gap_open=-6, gap_ext=-1):
+    """sw_align with outputs stacked as one int16 [5, B] array — a single
+    small device->host transfer (the tunnel's D2H path is ~0.4 MB/s)."""
+    out = sw_align(query, ref, match=match, mismatch=mismatch,
+                   gap_open=gap_open, gap_ext=gap_ext)
+    return jnp.stack([out[f] for f in _FIELDS]).astype(jnp.int16)
+
+
 def sw_align_tiled(query, ref, tile: int = SW_TILE, **kw):
-    """sw_align in host-tiled sub-batches; returns numpy dict."""
+    """sw_align in host-tiled sub-batches; returns numpy dict (int32).
+
+    Coordinates fit int16 because M, N <= a few hundred in every caller."""
     import numpy as np
 
     B = query.shape[0]
-    if B <= tile:
-        out = sw_align(query, ref, **kw)
-        return {k: np.asarray(v) for k, v in out.items()}
-    outs = []
-    for lo in range(0, B, tile):
+    parts = []
+    for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)
-        q = query[lo:hi]
-        r = ref[lo:hi]
-        if hi - lo < tile:  # pad so the kernel keeps one compiled shape
-            import numpy as _np
+        n = hi - lo
+        if n <= 0:
+            break
+        bucket = tile if B > tile else max(256, 1 << (n - 1).bit_length())
+        q = np.full((bucket, query.shape[1]), 4, np.uint8)
+        q[:n] = np.asarray(query[lo:hi])
+        r = np.full((bucket, ref.shape[1]), 4, np.uint8)
+        r[:n] = np.asarray(ref[lo:hi])
+        packed = np.asarray(_sw_align_packed(q, r, **kw))
+        parts.append(packed[:, :n])
+    if not parts:
+        return {f: np.zeros(0, np.int32) for f in _FIELDS}
+    packed = np.concatenate(parts, axis=1).astype(np.int32)
+    return dict(zip(_FIELDS, packed))
 
-            q = _np.concatenate(
-                [_np.asarray(q), _np.full((tile - (hi - lo), q.shape[1]), 4, _np.uint8)]
-            )
-            r = _np.concatenate(
-                [_np.asarray(r), _np.full((tile - (hi - lo), r.shape[1]), 4, _np.uint8)]
-            )
-        out = sw_align(q, r, **kw)
-        outs.append({k: np.asarray(v)[: hi - lo] for k, v in out.items()})
-    return {k: np.concatenate([o[k] for o in outs]) for k in outs[0]}
+
+@partial(jax.jit, static_argnames=("match", "mismatch", "gap_open", "gap_ext"))
+def _sw_score_i16(query, ref, match=1, mismatch=-2, gap_open=-3, gap_ext=-1):
+    return sw_score(query, ref, match=match, mismatch=mismatch,
+                    gap_open=gap_open, gap_ext=gap_ext).astype(jnp.int16)
 
 
 def sw_score_tiled(query, ref, tile: int = SW_TILE, **kw):
     import numpy as np
 
     B = query.shape[0]
-    if B <= tile:
-        return np.asarray(sw_score(query, ref, **kw))
     outs = []
-    for lo in range(0, B, tile):
+    for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)
-        q = query[lo:hi]
-        r = ref[lo:hi]
-        if hi - lo < tile:
-            q = np.concatenate(
-                [np.asarray(q), np.full((tile - (hi - lo), q.shape[1]), 4, np.uint8)]
-            )
-            r = np.concatenate(
-                [np.asarray(r), np.full((tile - (hi - lo), r.shape[1]), 4, np.uint8)]
-            )
-        outs.append(np.asarray(sw_score(q, r, **kw))[: hi - lo])
+        n = hi - lo
+        if n <= 0:
+            break
+        bucket = tile if B > tile else max(256, 1 << (n - 1).bit_length())
+        q = np.full((bucket, query.shape[1]), 4, np.uint8)
+        q[:n] = np.asarray(query[lo:hi])
+        r = np.full((bucket, ref.shape[1]), 4, np.uint8)
+        r[:n] = np.asarray(ref[lo:hi])
+        outs.append(np.asarray(_sw_score_i16(q, r, **kw))[:n].astype(np.int32))
+    if not outs:
+        return np.zeros(0, np.int32)
     return np.concatenate(outs)
 
 

@@ -294,8 +294,14 @@ def _window_scores(seq: np.ndarray, contig_codes: np.ndarray, lo: int, hi: int,
     wins = np.where(oob, 4, wins).astype(np.uint8)
     if revcomp_ref:
         wins = coder.COMPLEMENT[wins][:, ::-1]
-    q = np.broadcast_to(seq[None, :], (n, sl)).copy()
-    scores = swmod.sw_score_tiled(q, wins)
+    # pad width to a 32-multiple bucket: clip lengths vary per read and each
+    # distinct width would recompile the kernel; N-padding cannot score
+    sl_pad = -(-sl // 32) * 32
+    q = np.full((n, sl_pad), 4, np.uint8)
+    q[:, :sl] = seq[None, :]
+    w = np.full((n, sl_pad), 4, np.uint8)
+    w[:, :sl] = wins
+    scores = swmod.sw_score_tiled(q, w)
     return scores.astype(np.float32) / sl
 
 
@@ -392,7 +398,7 @@ def _recheck(acc: AccBkp, contigs: fasta.Contigs, cfg: BkpConfig) -> bool:
                             acc.to_bkp + cl)
     if len(a) == 0 or len(b) == 0:
         return True
-    n = max(len(a), len(b))
+    n = -(-max(len(a), len(b)) // 32) * 32
     pa = np.full(n, 4, np.uint8)
     pa[: len(a)] = a
     pb = np.full(n, 4, np.uint8)

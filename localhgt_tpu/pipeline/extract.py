@@ -57,7 +57,9 @@ def _pad_read_batch(b, accept, B: int, L: int):
 
 
 def _batch_width(lmax: int) -> int:
-    return max(64, -(-lmax // 64) * 64)
+    # at least 192 so later batches with longer reads than the first are not
+    # truncated for common Illumina lengths
+    return max(192, -(-lmax // 64) * 64)
 
 
 def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
@@ -111,7 +113,10 @@ def _scan_chunk(tables, codes, true_len, masks, k, scan_cfg, least_depth):
         cnt = count.table_lookup(t, h[i])
         rows.append(jnp.where(v & (h[i] != 0), cnt, 0))
     hc = jnp.stack(rows).astype(jnp.int8)
-    return scan.scan_hits(jnp, hc, k, scan_cfg, least_depth, true_len=true_len)
+    g, p = scan.scan_hits(jnp, hc, k, scan_cfg, least_depth, true_len=true_len)
+    # bit-pack the masks: device->host bandwidth through the tunnel is the
+    # bottleneck, so ship 2 x L/8 bytes instead of 2 x L bools
+    return jnp.packbits(g), jnp.packbits(p)
 
 
 def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
@@ -148,8 +153,8 @@ def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
                 tables, jnp.asarray(buf), jnp.int32(min(L - cs, chunk)),
                 masks_j, k, cfg.scan, cfg.kmer.least_depth,
             )
-            g = np.asarray(g)
-            p = np.asarray(p)
+            g = np.unpackbits(np.asarray(g)).astype(bool)[:chunk]
+            p = np.unpackbits(np.asarray(p)).astype(bool)[:chunk]
             good[s:e] = g[s - cs : s - cs + (e - s)]
             peak[s:e] = p[s - cs : s - cs + (e - s)]
             if e == L:
@@ -211,10 +216,16 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
     t = _time.time()
     import jax.numpy as jnp
 
+    lookup_jit = jax.jit(count.table_lookup)
+
     def count_lookup(i, hashes):
         if len(hashes) == 0:
             return np.zeros(0, np.int8)
-        return count.table_lookup(tables[i], jnp.asarray(hashes))
+        n = len(hashes)
+        n_pad = max(256, 1 << (n - 1).bit_length())  # few compile shapes
+        hp = np.zeros(n_pad, np.uint32)
+        hp[:n] = hashes
+        return np.asarray(lookup_jit(tables[i], jnp.asarray(hp)))[:n]
 
     pset = peaks_mod.build_peakset(
         per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
