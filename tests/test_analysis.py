@@ -1,0 +1,262 @@
+"""Tests for the downstream analysis package (SURVEY.md section 2.4)."""
+
+import numpy as np
+import pytest
+
+from localhgt_tpu.analysis import (classifier, mechanism, microhomology,
+                                   network, records, stats)
+from localhgt_tpu.analysis.taxonomy import Taxonomy
+from localhgt_tpu.io import fasta
+from localhgt_tpu.ops import nw
+from localhgt_tpu.utils import formats
+
+
+# ---------- ops/nw kernel ----------
+
+def test_nw_matches_oracle_random():
+    rng = np.random.default_rng(7)
+    B, M, N = 16, 48, 52
+    q = rng.integers(0, 4, (B, M)).astype(np.uint8)
+    r = rng.integers(0, 4, (B, N)).astype(np.uint8)
+    r[::3, 10:10 + 24] = q[::3, 4:28]  # plant shared blocks
+    s_d, m_d = nw.nw_max_ungapped(q, r)
+    s_n, m_n = nw.nw_max_ungapped_np(q, r)
+    np.testing.assert_array_equal(np.asarray(s_d), s_n)
+    np.testing.assert_array_equal(np.asarray(m_d), m_n)
+
+
+def test_nw_identical_seqs_full_run():
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 4, (2, 40)).astype(np.uint8)
+    s, m = nw.nw_max_ungapped(q, q)
+    assert np.all(np.asarray(m) == 40)
+    assert np.all(np.asarray(s) == 80)  # match=2 each
+
+
+def test_nw_gap_splits_run():
+    # identical halves separated by an insertion in ref -> run = half length
+    q = np.tile(np.array([0, 1, 2, 3], np.uint8), 10)[None]  # 40bp
+    ins = np.full(6, 0, np.uint8)
+    r = np.concatenate([q[0, :20], ins, q[0, 20:]])[None]
+    _, m = nw.nw_max_ungapped(q, r)
+    assert int(m[0]) == 20
+
+
+# ---------- fixtures ----------
+
+@pytest.fixture(scope="module")
+def toy_cohort(tmp_path_factory):
+    """Two-contig reference with a shared 30bp block at the junctions, plus
+    acc.csv files for four samples across two phenotype groups."""
+    td = tmp_path_factory.mktemp("ana")
+    rng = np.random.default_rng(3)
+    bases = "ACGT"
+    homo = "".join(bases[i] for i in rng.integers(0, 4, 30))
+    # large enough that random flank windows rarely overlap each other
+    seqA = ("".join(bases[i] for i in rng.integers(0, 4, 470)) + homo
+            + "".join(bases[i] for i in rng.integers(0, 4, 9500)))
+    seqB = ("".join(bases[i] for i in rng.integers(0, 4, 700)) + homo
+            + "".join(bases[i] for i in rng.integers(0, 4, 9270)))
+    ref = td / "ref.fa"
+    fasta.write_fasta(str(ref), [("gA_1", seqA), ("gB_1", seqB)])
+    contigs = fasta.read_fasta(str(ref))
+
+    # breakpoints at opposite ends of the shared block (as an aligner calls
+    # them): from-flank ends with the block, to-flank starts with it, so the
+    # semi-global overlap alignment traverses the 30 bp homology
+    def acc_rows(n_extra):
+        rows = []
+        for i in range(1 + n_extra):
+            rows.append([
+                "gA_1", 401 + i, "right", "+", "gB_1", 801 + i, "left", "+",
+                "False", "", "", "0.9", 4, 5, 6 + i, 7,
+            ])
+        return rows
+
+    sdir = td / "cohort"
+    sdir.mkdir()
+    for si, (sid, extra) in enumerate(
+            [("s1", 0), ("s2", 1), ("s3", 2), ("s4", 3)]):
+        p = sdir / f"{sid}.acc.csv"
+        with open(p, "w") as f:
+            print("# the number of reads in the sample is: 100000; "
+                  "Insert size is 300.", file=f)
+            print(",".join(formats.HEADER), file=f)
+            for r in acc_rows(extra):
+                print(",".join(str(x) for x in r), file=f)
+    return contigs, str(sdir), str(ref)
+
+
+# ---------- records ----------
+
+def test_load_cohort(toy_cohort):
+    _, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    assert len(samples) == 4
+    assert samples[0].reads_num == 100000
+    b = samples[0].bkps[0]
+    assert b.from_ref_genome == "gA" and b.to_ref_genome == "gB"
+    assert b.pair_tag == "gA&gB"
+    assert b.hgt_tag == "gA_1&4&gB_1&8"
+
+
+def test_abundance_filter(toy_cohort):
+    _, sdir, _ = toy_cohort
+    # cutoff above cross_split_reads/reads_num = 6e-5 drops everything
+    samples = records.load_cohort(sdir, abun_cutoff=1e-3)
+    assert not samples
+
+
+# ---------- microhomology ----------
+
+def test_bkp_homology_detects_planted_block(toy_cohort):
+    contigs, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    h = microhomology.bkp_homology(samples[0].bkps, contigs)
+    # from-flank suffix and to-flank prefix share the 30bp planted block
+    assert h[0] >= 30
+
+
+def test_random_homology_is_short(toy_cohort):
+    contigs, _, _ = toy_cohort
+    r = microhomology.random_homology(contigs, 32, seed=5)
+    assert len(r) == 32
+    assert np.median(r) < 30
+
+
+def test_find_mh():
+    rng = np.random.default_rng(0)
+    s1 = rng.integers(0, 4, 60).astype(np.uint8)
+    s2 = rng.integers(0, 4, 60).astype(np.uint8)
+    s2[20:25] = s1[22:27]  # 5-mer at offset diff 2
+    assert microhomology.find_mh(s1, s2)
+    assert not microhomology.find_mh(s1[:4], s2)
+
+
+def test_compare_vs_random(toy_cohort):
+    contigs, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    bkps = [b for s in samples for b in s.bkps]
+    res = microhomology.compare_vs_random(bkps, contigs, n_random=64)
+    assert res["hgt_mean"] >= 25
+    assert res["random_mean"] < res["hgt_mean"]
+
+
+# ---------- mechanism ----------
+
+def test_classify_tree():
+    assert mechanism.classify("ins", False, True, 0, 0) == "TEI"
+    assert mechanism.classify("ins", True, False, 0, 0) == "VNTR"
+    assert mechanism.classify("ins", False, False, 0, 0) == "NA"
+    assert mechanism.classify("del", False, False, 12, 0) == "FoSTeS/MMBIR"
+    assert mechanism.classify("del", False, False, 3, 0) == "NHEJ"
+    assert mechanism.classify("del", False, False, 0, 150) == "NAHR"
+    assert mechanism.classify("del", False, False, 0, 5) == "alt-EJ"
+    assert mechanism.classify("del", False, False, 0, 1) == "NHEJ"
+
+
+def test_classify_events(toy_cohort):
+    contigs, _, _ = toy_cohort
+    ev = mechanism.EventRow("s1", "gA_1", 471, "gB_1", 701, 950, "False")
+    out = mechanism.classify_events([ev], contigs)
+    assert out[0]["ins_mechanism"] == "NA"
+    assert out[0]["del_mechanism"] in ("NHEJ", "alt-EJ", "NAHR")
+    tei = {"gB_1": [(690, 710)]}
+    out2 = mechanism.classify_events([ev], contigs, tei=tei)
+    assert out2[0]["del_mechanism"] == "TEI"
+    freq = mechanism.mechanism_frequency(out2)
+    assert freq == {"TEI": 1.0}
+
+
+# ---------- network ----------
+
+def test_network_properties(toy_cohort):
+    contigs, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    tax = Taxonomy()
+    props, total = network.network_properties(samples[3], tax, "genome", 1)
+    assert total == 1  # all bkps collapse to the single gA&gB edge tag
+    assert props[4] == 2 and props[5] == 1  # 2 nodes, 1 edge
+
+    # insufficient distinct edges -> zeros
+    props0, total0 = network.network_properties(samples[0], tax, "genome", 5)
+    assert total0 < 5 and props0 == [0, 0, 0, 0, 0, 0]
+
+
+def test_compare_groups(toy_cohort):
+    _, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    for s, dis in zip(samples, ["CRC", "CRC", "control", "control"]):
+        s.disease = dis
+    rows = network.compare_groups(samples, Taxonomy(), "CRC", "control",
+                                  levels=[6])
+    assert len(rows) == len(network.PROPERTIES)
+
+
+# ---------- classifier ----------
+
+def test_marker_selection_and_training():
+    rng = np.random.default_rng(0)
+    samples = []
+    # group-specific junction: g1 carries tagA, g2 carries tagB
+    for i in range(30):
+        gi = i % 2
+        s = records.SampleBkps(f"x{i}")
+        s.disease = "CRC" if gi == 0 else "control"
+        pos = 100 if gi == 0 else 900
+        npos = int(rng.integers(0, 50))
+        s.bkps.append(records.BkpRecord(
+            "gA_1", pos, "right", "+", "gB_1", pos + npos % 20, "left", "+",
+            "False", 0.9, 1, 1, 5, 1,
+        ))
+        samples.append(s)
+    markers = classifier.select_markers(samples, "CRC", "control", 5)
+    assert markers
+    res = classifier.train_and_eval(samples, "CRC", "control", model="logreg")
+    assert res["n_markers"] >= 1
+    assert res["auc"] > 0.9
+
+
+def test_roc_auc_perfect():
+    assert classifier.roc_auc([0, 0, 1, 1], [0.1, 0.2, 0.8, 0.9]) == 1.0
+    assert classifier.roc_auc([1, 1, 0, 0], [0.1, 0.2, 0.8, 0.9]) == 0.0
+
+
+def test_undersample_balances():
+    X = np.arange(20, dtype=np.float32)[:, None]
+    y = np.array([0] * 15 + [1] * 5)
+    Xb, yb = classifier.undersample(X, y)
+    assert (yb == 0).sum() == (yb == 1).sum() == 5
+
+
+# ---------- stats ----------
+
+def test_stats_summary(toy_cohort):
+    contigs, sdir, _ = toy_cohort
+    samples = records.load_cohort(sdir)
+    s = stats.summary(samples, contigs)
+    assert s["n_samples"] == 4
+    assert s["total_bkps"] == 1 + 2 + 3 + 4
+    assert s["top_pairs"][0][0] == "gA&gB"
+    for smp, dis in zip(samples, ["CRC", "CRC", "control", "control"]):
+        smp.disease = dis
+    t = stats.group_count_test(samples, "CRC", "control")
+    assert t["n1"] == 2 and t["n2"] == 2
+    assert np.isfinite(t["p_value"])
+
+
+# ---------- taxonomy ----------
+
+def test_taxonomy_metadata(tmp_path):
+    meta = tmp_path / "meta.tsv"
+    meta.write_text(
+        "Genome\tLineage\n"
+        "gA\td__Bacteria;p__Firmicutes;c__Bacilli;o__X;f__Y;g__Z;s__Z w\n"
+    )
+    tax = Taxonomy(str(meta))
+    assert tax.taxon("gA", "phylum") == "p__Firmicutes"
+    assert tax.taxon("gA", "genome") == "gA"
+    assert tax.taxon("unknown", "phylum") == "unknown"
+    b = records.BkpRecord("gA_1", 1, "r", "+", "gB_1", 2, "l", "+",
+                          "False", 0.9, 1, 1, 5, 1)
+    assert tax.edge_tag(b, "phylum") == "gB&p__Firmicutes"
