@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--sample", dest="sample_bp", type=float, default=2e9)
     b.add_argument("--read_info", type=int, default=1)
     b.add_argument("--refine_fq", type=int, default=0,
-                   help="(accepted for CLI parity; fastp is not used)")
+                   help="run fastp-equivalent read QC before detection")
 
     e = sub.add_parser("event", help="Infer complete HGT events from "
                        "detected breakpoints.")
@@ -83,6 +83,7 @@ def main(argv=None) -> int:
             cfg=config_from_args(args),
             use_kmer=bool(args.use_kmer),
             read_info=bool(args.read_info),
+            refine_fq=bool(args.refine_fq),
         )
         return 0
     if args.command == "event":

@@ -12,10 +12,13 @@ deterministic scatter-add:
     semantics (SURVEY.md section 5 "race detection": the rebuild replaces the
     benign data race with deterministic merges).
 
-Tables are shaped [shards, 2^min(k,30)] because XLA gather/scatter indices
-(and jax's index-normalization constants) are int32: at k=32 the 2^32 hash
-space splits on the top two bits. For k <= 30 the shard dimension is 1 and
-costs nothing. The single hash value 0xFFFFFFFF
+Tables are **1-D [2^k]** for k <= 30 (hash indices fit int32) and
+[2^(k-23), 2^23] for k > 30 (XLA gather/scatter indices are int32, so the
+2^32 hash space splits on high bits). Shapes matter on TPU: a (1, 2^k)
+array gets its unit leading dim padded to the sublane tile, quadrupling the
+HBM footprint (observed: 3 x 1 GB int8 tables billed as 3 x 4 GB arguments)
+— hence 1-D flat tables, and the sharded form sized so both dims are tile
+multiples. The single hash value 0xFFFFFFFF
 doubles as the invalid sentinel (a degenerate all-ones k-mer code; the
 reference similarly treats index 0 as unusable, read_index cpp:936-941).
 
@@ -32,23 +35,25 @@ import jax.numpy as jnp
 
 from localhgt_tpu.ops import encode
 
-TABLE_BITS = 30  # shard width 2^30: jax index normalization builds int32 consts of the axis size
+TABLE_BITS = 30   # largest k stored flat (indices stay int32)
+SHARD_WIDTH_BITS = 23  # sharded row width: both dims are TPU tile multiples
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
 
 def make_table(k: int) -> jnp.ndarray:
-    shards = 1 << max(0, k - TABLE_BITS)
-    width = 1 << min(k, TABLE_BITS)
-    return jnp.zeros((shards, width), dtype=jnp.int8)
+    if k <= TABLE_BITS:
+        return jnp.zeros(1 << k, dtype=jnp.int8)
+    return jnp.zeros((1 << (k - SHARD_WIDTH_BITS), 1 << SHARD_WIDTH_BITS),
+                     dtype=jnp.int8)
 
 
 def table_lookup(table, h):
-    """Gather counts for uint32 hashes from a sharded table."""
-    if table.shape[0] == 1:
-        # k <= 30: every hash < 2^30 fits int32; 1-D gather on the flat view
-        return table.reshape(-1)[h.astype(jnp.int32)]
-    hi = (h >> jnp.uint32(TABLE_BITS)).astype(jnp.int32)
-    lo = (h & jnp.uint32((1 << TABLE_BITS) - 1)).astype(jnp.int32)
+    """Gather counts for uint32 hashes from a count table."""
+    if table.ndim == 1:
+        # k <= 30: every hash < 2^30 fits int32; 1-D flat gather
+        return table[h.astype(jnp.int32)]
+    hi = (h >> jnp.uint32(SHARD_WIDTH_BITS)).astype(jnp.int32)
+    lo = (h & jnp.uint32((1 << SHARD_WIDTH_BITS) - 1)).astype(jnp.int32)
     return table[hi, lo]
 
 
@@ -85,18 +90,20 @@ def capped_batch_delta_multi(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
 
 
 def scatter_delta(table, s, contrib):
-    """Scatter sorted hashes + capped deltas into a sharded table.
+    """Scatter sorted hashes + capped deltas into a count table.
 
-    The single-shard (k <= 30) path stays a 1-D scatter on the flat view —
-    the 2-D advanced-indexing form compiles to a far slower TPU scatter."""
-    n_shards, width = table.shape
-    if n_shards == 1:
-        lo = jnp.where(s == SENTINEL, jnp.int32(width), s.astype(jnp.int32))
-        flat = table.reshape(-1).at[lo].add(contrib, mode="drop")
-        return flat.reshape(1, width)
-    hi = (s >> jnp.uint32(TABLE_BITS)).astype(jnp.int32)
+    The flat (k <= 30) path is a 1-D scatter — the 2-D advanced-indexing
+    form compiles to a far slower TPU scatter. Sentinels map to a positive
+    out-of-bounds index: negative indices (sentinel cast to int32 = -1)
+    drop correctly but hit a ~8x slower TPU scatter path (measured)."""
+    if table.ndim == 1:
+        n = table.shape[0]
+        lo = jnp.where(s == SENTINEL, jnp.int32(n), s.astype(jnp.int32))
+        return table.at[lo].add(contrib, mode="drop")
+    n_shards = table.shape[0]
+    hi = (s >> jnp.uint32(SHARD_WIDTH_BITS)).astype(jnp.int32)
     hi = jnp.where(s == SENTINEL, jnp.int32(n_shards), hi)  # OOB -> dropped
-    lo = (s & jnp.uint32((1 << TABLE_BITS) - 1)).astype(jnp.int32)
+    lo = (s & jnp.uint32((1 << SHARD_WIDTH_BITS) - 1)).astype(jnp.int32)
     return table.at[hi, lo].add(contrib, mode="drop")
 
 

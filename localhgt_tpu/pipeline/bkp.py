@@ -42,6 +42,7 @@ def detect_breakpoint(
     cfg: Config | None = None,
     use_kmer: bool = True,
     read_info: bool = True,
+    refine_fq: bool = False,
 ) -> str:
     """Run breakpoint detection; returns the path of <sample>.acc.csv."""
     cfg = cfg or Config()
@@ -51,6 +52,17 @@ def detect_breakpoint(
         level=logging.INFO,
         format="%(asctime)s %(name)s %(message)s", datefmt="%H:%M:%S",
     )
+
+    if refine_fq:
+        # fastp-equivalent QC (refine_fastq, infer_HGT_breakpoint.py:99-109)
+        from localhgt_tpu.io import qc
+
+        r1 = os.path.join(outdir, f"{sample}_refined_1.fq")
+        r2 = os.path.join(outdir, f"{sample}_refined_2.fq")
+        st = qc.refine_fastq(fq1, fq2, r1, r2)
+        log.info("qc: %d/%d pairs kept, %d adapter trims",
+                 st.pairs_out, st.pairs_in, st.adapter_trimmed)
+        fq1, fq2 = r1, r2
 
     contigs = reference.build(ref_path)
     log.info("reference: %d contigs, %d bp", contigs.n, len(contigs.codes))

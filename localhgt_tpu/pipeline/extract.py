@@ -66,6 +66,8 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
     """Stage A: build the per-hash count tables from both FASTQs."""
     import jax.numpy as jnp
 
+    import time as _time
+
     k = cfg.kmer.k
     tables = tuple(count.make_table(k) for _ in range(cfg.kmer.coder_num))
     ratio = fastq.downsample_ratio(cfg.kmer.sample, fq1)
@@ -74,13 +76,18 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
     width = None
     since_clip = 0
     clip_every = max(1, 120 // max(cfg.kmer.least_depth, 1) - 2)
+    t_io = t_dev = 0.0
+    nb = 0
     for path in (fq1, fq2):
+        t0 = _time.perf_counter()
         for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
             if width is None:
                 width = _batch_width(b.codes.shape[1])
             acc = fastq.accept_mask(b.start_ordinal, b.n, ratio,
                                     cfg.kmer.seed, cfg.kmer.strict_sampling)
             codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
+            t1 = _time.perf_counter()
+            t_io += t1 - t0
             tables = count.count_reads_step(
                 tables, jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth, clip=False,
@@ -91,7 +98,11 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
                 since_clip = 0
             if path == fq1:
                 n_pairs += b.n
+            nb += 1
+            t0 = _time.perf_counter()
+            t_dev += t0 - t1
     tables = count.clip_tables(tables, cfg.kmer.least_depth)
+    log.info("count: %d batches, host-io %.1fs, dispatch %.1fs", nb, t_io, t_dev)
     return tables, ratio, n_pairs
 
 
@@ -171,8 +182,13 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
 
     k = cfg.kmer.k
     peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
-    sh = jnp.asarray(pset.sorted_hash)
-    sp = jnp.asarray(pset.sorted_peak)
+    use_map = pset.direct_map is not None
+    if use_map:
+        sh = pset.direct_map
+        sp = jnp.zeros(1, jnp.int32)
+    else:
+        sh = jnp.asarray(pset.sorted_hash)
+        sp = jnp.asarray(pset.sorted_peak)
     pc = jnp.asarray(pset.contig.astype(np.int32))
     masks_j = jnp.asarray(masks)
     width = None
@@ -189,7 +205,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
             jnp.asarray(c2), jnp.asarray(l2),
             jnp.asarray(acc_p),
             masks_j, sh, sp, pc,
-            k=k, min_base_num=cfg.scan.min_base_num,
+            k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
         )
     return np.asarray(peak_filter)
 
@@ -216,21 +232,28 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
     t = _time.time()
     import jax.numpy as jnp
 
-    lookup_jit = jax.jit(count.table_lookup)
+    if (4 << cfg.kmer.k) <= peaks_mod.MAX_DIRECT_MAP_BYTES:
+        # device build: hashes + count filtering + dedupe + scatter all on
+        # device, no per-contig host round-trips
+        pset = peaks_mod.build_direct_map(
+            per_contig, contigs, tables, masks, cfg.kmer.k
+        )
+    else:
+        lookup_jit = jax.jit(count.table_lookup)
 
-    def count_lookup(i, hashes):
-        if len(hashes) == 0:
-            return np.zeros(0, np.int8)
-        n = len(hashes)
-        n_pad = max(256, 1 << (n - 1).bit_length())  # few compile shapes
-        hp = np.zeros(n_pad, np.uint32)
-        hp[:n] = hashes
-        return np.asarray(lookup_jit(tables[i], jnp.asarray(hp)))[:n]
+        def count_lookup(i, hashes):
+            if len(hashes) == 0:
+                return np.zeros(0, np.int8)
+            n = len(hashes)
+            n_pad = max(256, 1 << (n - 1).bit_length())  # few compile shapes
+            hp = np.zeros(n_pad, np.uint32)
+            hp[:n] = hashes
+            return np.asarray(lookup_jit(tables[i], jnp.asarray(hp)))[:n]
 
-    pset = peaks_mod.build_peakset(
-        per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
-        masks, cfg.kmer.k,
-    )
+        pset = peaks_mod.build_peakset(
+            per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
+            masks, cfg.kmer.k,
+        )
     log.info("peakset built in %.1fs", _time.time() - t)
 
     t = _time.time()

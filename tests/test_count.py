@@ -87,7 +87,8 @@ def test_sharded_table_layout_k32_semantics():
     import jax.numpy as jnp
 
     t = count.make_table(32)
-    assert t.shape == (4, 1 << 30)
+    # both dims are TPU tile multiples (no sublane padding blow-up)
+    assert t.shape == (1 << 9, 1 << 23)
     idx = np.array([5, 5, 5, (1 << 31) + 9, (3 << 30) + 7, 0xFFFFFFFE],
                    dtype=np.uint32)
     valid = np.array([True, True, True, True, True, False])
@@ -96,9 +97,11 @@ def test_sharded_table_layout_k32_semantics():
     h = jnp.asarray(idx[:5])
     looked = np.asarray(count.table_lookup(t, h))
     t = np.asarray(t)
-    assert t[0, 5] == 3
-    assert t[2, 9] == 1
-    assert t[3, 7] == 1
+    w = count.SHARD_WIDTH_BITS
+    m = (1 << w) - 1
+    assert t[5 >> w, 5] == 3
+    assert t[((1 << 31) + 9) >> w, 9] == 1
+    assert t[((3 << 30) + 7) >> w, 7] == 1
     assert t[0, 0] == 0
-    assert t[3, (1 << 30) - 2] == 0  # invalid entry dropped
+    assert t[0xFFFFFFFE >> w, 0xFFFFFFFE & m] == 0  # invalid entry dropped
     np.testing.assert_array_equal(looked, [3, 3, 3, 1, 1])

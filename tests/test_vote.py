@@ -77,3 +77,71 @@ def test_downsample_gates_votes():
     mate = gB[110:170][None, :]
     pf = _vote(pset, masks, k, chimera, mate, accept=np.zeros(1, bool))
     assert pf[1:].sum() == 0
+
+
+def test_direct_map_matches_searchsorted():
+    """The direct-map candidates path must vote identically to the
+    sorted-table binary-search path."""
+    import jax.numpy as jnp
+
+    gA, gB, masks, pset, k = _mk()
+    dm = np.zeros(1 << k, np.int32)
+    dm[pset.sorted_hash.astype(np.int64)] = pset.sorted_peak
+    chimera = np.concatenate([gA[120:180], gB[120:180]])[None, :]
+    mate = gB[110:170][None, :]
+    B = 1
+    pf0 = jnp.zeros(pset.n + 1, jnp.int32)
+    args = (
+        jnp.asarray(chimera), jnp.full(B, chimera.shape[1], jnp.int32),
+        jnp.asarray(mate), jnp.full(B, mate.shape[1], jnp.int32),
+        jnp.asarray(np.ones(B, bool)), jnp.asarray(masks),
+    )
+    pc = jnp.asarray(pset.contig.astype(np.int32))
+    ref = pm.split_vote_batch(
+        pf0, *args, jnp.asarray(pset.sorted_hash),
+        jnp.asarray(pset.sorted_peak), pc, k=k)
+    got = pm.split_vote_batch(
+        pf0, *args, jnp.asarray(dm), jnp.zeros(1, jnp.int32), pc,
+        k=k, use_map=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_build_direct_map_device():
+    """Device map build == host peakset build on a small reference."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.io import fasta as fasta_mod
+    from localhgt_tpu.ops import count as count_mod
+
+    k = 16
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 3000).astype(np.uint8)
+    contigs = fasta_mod.Contigs(
+        names=["c1"], lengths=np.array([3000]), offsets=np.array([0]),
+        codes=codes).finalize()
+    masks, _ = encode.hasher_for(k, 3, seed=1)
+    tables = tuple(count_mod.make_table(k) for _ in range(3))
+    # count the reference's own 100..200 window so lookups are nonzero
+    h, v = encode.canonical_hashes(np, codes[None, 100:220], masks, k)
+    t_new = []
+    for i, t in enumerate(tables):
+        arr = np.zeros(1 << k, np.int8)
+        arr[h[i][v].astype(np.int64)] = 3
+        t_new.append(jnp.asarray(arr.reshape(t.shape)))
+    tables = tuple(t_new)
+    per_contig = [(1, [150], [list(range(120, 180))])]
+    pset = pm.build_direct_map(per_contig, contigs, tables, masks, k)
+    dm = np.asarray(pset.direct_map)
+    # every registered hash must be a valid k-mer of the window with count>0
+    set_hashes = np.flatnonzero(dm)
+    assert len(set_hashes) > 0
+    assert np.all(dm[set_hashes] == 1)
+    # compare against the host build
+    def count_lookup(i, hashes):
+        return np.asarray(tables[i]).reshape(-1)[hashes.astype(np.int64)]
+    pset_host = pm.build_peakset(
+        per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
+        masks, k)
+    dm_host = np.zeros(1 << k, np.int32)
+    dm_host[pset_host.sorted_hash.astype(np.int64)] = pset_host.sorted_peak
+    np.testing.assert_array_equal(dm, dm_host)
