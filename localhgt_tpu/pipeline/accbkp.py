@@ -305,13 +305,113 @@ def _window_scores(seq: np.ndarray, contig_codes: np.ndarray, lo: int, hi: int,
     return scores.astype(np.float32) / sl
 
 
-def choose_acc_from_cluster(cl: Cluster, contigs: fasta.Contigs, rlen: int,
-                            cfg: BkpConfig):
-    """choose_acc_from_cluster (:398-496), with the per-window SSW loop as one
-    batched device call per (read, side)."""
+def _enumerate_tasks(clusters, rlen: int, cfg: BkpConfig):
+    """All (cluster, read, side) window-scan tasks the sequential loop could
+    touch — scored in ONE device batch instead of one dispatch each (the
+    per-dispatch tunnel RTT dominated this stage)."""
     inte = cfg.search_scale * rlen
-    _sort_support(cl)
-    for sr in cl.support_reads:
+    tasks = []
+    for ci, cl in enumerate(clusters):
+        if not cl.support_reads:
+            continue
+        _sort_support(cl)
+        extract_dir = "right" if cl.direction else "left"
+        for ri, sr in enumerate(cl.support_reads):
+            if sr.end_point:
+                continue
+            for side in (1, 2):
+                seq = sr.seq1 if side == 1 else sr.seq2
+                if len(seq) <= cfg.min_seq_len or sr.clipped != side:
+                    continue
+                positions = (cl.ref1_positions if side == 1
+                             else cl.ref2_positions)
+                ref_id = cl.ref1 if side == 1 else cl.ref2
+                tasks.append(dict(
+                    ci=ci, ri=ri, side=side, seq=seq, ref_id=ref_id,
+                    lo=positions[0] - inte, hi=positions[-1] + inte,
+                    left_windows=sr.clipped_direction == extract_dir,
+                    revcomp_ref=cl.direction,
+                    ref1=cl.ref1, ref2=cl.ref2,
+                    sr_pos1=sr.pos1, sr_pos2=sr.pos2,
+                ))
+    return tasks
+
+
+def _score_tasks(tasks, contigs: fasta.Contigs, max_rows: int = 1 << 16):
+    """Batched window scores for every task: builds all (query, window) rows
+    host-side, runs sw_score_tiled in few large calls, returns per-task
+    (best_offset, best_ratio)."""
+    from localhgt_tpu.ops import sw as swmod
+
+    results = {}
+    if not tasks:
+        return results
+    W = max(32, -(-max(len(t["seq"]) for t in tasks) // 32) * 32)
+    rows_q, rows_r, spans = [], [], []
+    for t in tasks:
+        q, w = _window_rows(t, contigs, W)
+        rows_q.append(q)
+        rows_r.append(w)
+        spans.append(len(q))
+    qs = np.concatenate(rows_q)
+    rs = np.concatenate(rows_r)
+    scores = np.concatenate([
+        swmod.sw_score_tiled(qs[i: i + max_rows], rs[i: i + max_rows])
+        for i in range(0, len(qs), max_rows)
+    ]) if len(qs) else np.zeros(0, np.int32)
+    off = 0
+    for t, n in zip(tasks, spans):
+        sl = len(t["seq"])
+        if n == 0 or sl == 0:
+            results[(t["ci"], t["ri"], t["side"])] = (0, 0.0)
+            off += n
+            continue
+        sc = scores[off: off + n].astype(np.float32) / sl
+        best = int(np.argmax(sc))
+        results[(t["ci"], t["ri"], t["side"])] = (best, float(sc[best]))
+        off += n
+    return results
+
+
+def _window_rows(t, contigs: fasta.Contigs, W: int):
+    """(query rows, window rows) for one task — same window geometry as
+    choose_acc_from_cluster's per-position extract_ref_seq scan
+    (accurate_bkp.py:339-342,398-496)."""
+    seq = t["seq"]
+    contig_codes = contigs.contig_codes(t["ref_id"])
+    sl = len(seq)
+    n = t["hi"] - t["lo"]
+    if n <= 0 or sl == 0:
+        return (np.zeros((0, W), np.uint8), np.zeros((0, W), np.uint8))
+    pb = np.arange(t["lo"], t["hi"], dtype=np.int64)
+    starts = pb - sl if t["left_windows"] else pb
+    starts = np.maximum(starts, 1)
+    gather = starts[:, None] + np.arange(sl)[None, :]
+    oob = gather >= len(contig_codes)
+    gather = np.clip(gather, 0, max(len(contig_codes) - 1, 0))
+    wins = contig_codes[gather]
+    wins = np.where(oob, 4, wins).astype(np.uint8)
+    if t["revcomp_ref"]:
+        wins = coder.COMPLEMENT[wins][:, ::-1]
+    q = np.full((n, W), 4, np.uint8)
+    q[:, :sl] = seq[None, :]
+    w = np.full((n, W), 4, np.uint8)
+    w[:, :sl] = wins
+    return q, w
+
+
+def choose_acc_from_cluster(cl: Cluster, contigs: fasta.Contigs, rlen: int,
+                            cfg: BkpConfig, ci: int = 0,
+                            scored: dict | None = None,
+                            recheck_memo: dict | None = None):
+    """choose_acc_from_cluster (:398-496). Window scores come from the
+    pre-batched `scored` map when given (falling back to a per-task device
+    call); the sequential read order, early exits and cluster position state
+    are replicated exactly."""
+    inte = cfg.search_scale * rlen
+    if scored is None:
+        _sort_support(cl)
+    for ri, sr in enumerate(cl.support_reads):
         if sr.end_point:
             continue
         extract_dir = "right" if cl.direction else "left"
@@ -327,14 +427,19 @@ def choose_acc_from_cluster(cl: Cluster, contigs: fasta.Contigs, rlen: int,
             lo = positions[0] - inte
             hi = positions[-1] + inte
             left_windows = sr.clipped_direction == extract_dir
-            ratios = _window_scores(
-                seq, contigs.contig_codes(ref_id), lo, hi,
-                left_windows, cl.direction,
-            )
-            if len(ratios) == 0:
-                continue
-            best = int(np.argmax(ratios))
-            sc = float(ratios[best])
+            if scored is not None:
+                if (ci, ri, side) not in scored:
+                    continue
+                best, sc = scored[(ci, ri, side)]
+            else:
+                ratios = _window_scores(
+                    seq, contigs.contig_codes(ref_id), lo, hi,
+                    left_windows, cl.direction,
+                )
+                if len(ratios) == 0:
+                    continue
+                best = int(np.argmax(ratios))
+                sc = float(ratios[best])
             if sc <= cfg.min_match_score:
                 continue
             pb = lo + best
@@ -363,13 +468,64 @@ def choose_acc_from_cluster(cl: Cluster, contigs: fasta.Contigs, rlen: int,
 
         if cl.pos1 > 0 and cl.pos2 > 0:
             if score1 > cfg.min_match_score and acc1 is not None and \
-               _recheck(acc1, contigs, cfg):
+               _recheck_cached(acc1, contigs, cfg, recheck_memo):
                 return acc1
             if score2 > cfg.min_match_score and acc2 is not None and \
-               _recheck(acc2, contigs, cfg):
+               _recheck_cached(acc2, contigs, cfg, recheck_memo):
                 return acc2
             return None
     return None
+
+
+def _recheck_key(acc: AccBkp):
+    return (acc.from_ref, acc.from_bkp, acc.to_ref, acc.to_bkp)
+
+
+def _recheck_cached(acc, contigs, cfg, memo):
+    if memo is not None:
+        hit = memo.get(_recheck_key(acc))
+        if hit is not None:
+            return hit
+    return _recheck(acc, contigs, cfg)
+
+
+def _batch_recheck(coords, contigs: fasta.Contigs, cfg: BkpConfig) -> dict:
+    """Repeat-guard similarity for many (from_ref, from_bkp, to_ref, to_bkp)
+    candidates in one device call (two SW rows per candidate: forward and
+    revcomp orientation — compare_two_refs, accurate_bkp.py:528-551)."""
+    from localhgt_tpu.ops import sw as swmod
+
+    coords = list(dict.fromkeys(coords))
+    out = {}
+    if not coords:
+        return out
+    clw = cfg.refs_check_len
+    rows_q, rows_r, meta = [], [], []
+    W = 2 * clw + 32
+    W = -(-W // 32) * 32
+    for c in coords:
+        fr, fb, tr, tb = c
+        a = contigs.slice_codes(fr, max(fb - clw, 1), fb + clw)
+        b = contigs.slice_codes(tr, max(tb - clw, 1), tb + clw)
+        if len(a) == 0 or len(b) == 0:
+            out[c] = True
+            continue
+        pa = np.full(W, 4, np.uint8)
+        pa[: len(a)] = a
+        par = np.full(W, 4, np.uint8)
+        ar = _revcomp(a)
+        par[: len(ar)] = ar
+        pb = np.full(W, 4, np.uint8)
+        pb[: len(b)] = b
+        rows_q += [pa, par]
+        rows_r += [pb, pb]
+        meta.append((c, len(a)))
+    if meta:
+        scores = swmod.sw_score_tiled(np.stack(rows_q), np.stack(rows_r))
+        for i, (c, la) in enumerate(meta):
+            sim = float(max(scores[2 * i], scores[2 * i + 1])) / la
+            out[c] = sim <= cfg.max_refs_sim
+    return out
 
 
 def _make_acc(cl: Cluster, from_side, to_side, seq, score, contigs,
@@ -519,11 +675,30 @@ def find_accurate_bkps(
         make_split_reads(a2, codes2, ins.rlen, subref, cfg)
     log.info("split reads: %d", len(splits))
     attach_split_reads(clusters, splits, ins.insert_size)
+    # phase 1: every window-scan task scored in one batched device pass
+    tasks = _enumerate_tasks(clusters, ins.rlen, cfg)
+    scored = _score_tasks(tasks, contigs)
+    # phase 2: pre-batch the repeat-guard rechecks for every candidate that
+    # could clear min_match_score (superset of what the sequential pass uses)
+    cand_coords = []
+    for t in tasks:
+        best, sc = scored[(t["ci"], t["ri"], t["side"])]
+        if sc <= cfg.min_match_score:
+            continue
+        pb = t["lo"] + best
+        if t["side"] == 1:
+            cand_coords.append((t["ref1"], pb, t["ref2"], t["sr_pos2"]))
+        else:
+            cand_coords.append((t["ref1"], t["sr_pos1"], t["ref2"], pb))
+    recheck_memo = _batch_recheck(cand_coords, contigs, cfg)
+    # phase 3: exact sequential accept logic, consuming the batched results
     accs = []
-    for cl in clusters:
+    for ci, cl in enumerate(clusters):
         if not cl.support_reads:
             continue
-        acc = choose_acc_from_cluster(cl, contigs, ins.rlen, cfg)
+        acc = choose_acc_from_cluster(cl, contigs, ins.rlen, cfg, ci=ci,
+                                      scored=scored,
+                                      recheck_memo=recheck_memo)
         if acc is not None:
             accs.append(acc)
     log.info("rough number of acc bkps: %d", len(accs))

@@ -95,12 +95,19 @@ def _pack_seeds(codes: np.ndarray, s: int) -> tuple[np.ndarray, np.ndarray]:
     if n <= 0:
         shp = codes.shape[:-1] + (0,)
         return np.zeros(shp, np.uint64), np.zeros(shp, bool)
-    c = np.minimum(codes, 4).astype(np.uint64)
-    h = np.zeros(codes.shape[:-1] + (n,), np.uint64)
-    bad = np.zeros_like(h, dtype=np.int32)
+    return _pack_seeds_at(codes, s, np.arange(n))
+
+
+def _pack_seeds_at(codes: np.ndarray, s: int, starts: np.ndarray):
+    """_pack_seeds evaluated only at the given start positions — the seeding
+    hot path samples every `seed_stride` positions, so hashing all L-s+1
+    windows first wastes ~stride x the work."""
+    h = np.zeros(codes.shape[:-1] + (len(starts),), np.uint64)
+    bad = np.zeros(h.shape, dtype=np.int32)
     for z in range(s):
-        h = (h << np.uint64(2)) | (c[..., z : z + n] & np.uint64(3))
-        bad += (codes[..., z : z + n] >= 4).astype(np.int32)
+        col = codes[..., starts + z]
+        h = (h << np.uint64(2)) | (col.astype(np.uint64) & np.uint64(3))
+        bad += (col >= 4).astype(np.int32)
     return h, bad == 0
 
 
@@ -279,11 +286,11 @@ def align_batch(
 
     # --- seed lookup on both strands ---
     cand = []
+    n_starts = L - cfg.seed_len + 1
+    stride_idx = (np.arange(0, max(n_starts, 1), cfg.seed_stride)
+                  if n_starts > 0 else np.zeros(0, np.int64))
     for strand, arr in ((0, codes), (1, rc)):
-        h, valid = _pack_seeds(arr[:, :], cfg.seed_len)
-        stride_idx = np.arange(0, h.shape[1], cfg.seed_stride)
-        h = h[:, stride_idx]
-        valid = valid[:, stride_idx]
+        h, valid = _pack_seeds_at(arr, cfg.seed_len, stride_idx)
         qoff_grid = np.broadcast_to(stride_idx[None, :], h.shape)
         flat_sel = valid.reshape(-1)
         qh = h.reshape(-1)[flat_sel]

@@ -96,7 +96,9 @@ def detect_breakpoint(
     tables1, tables2 = [], []
     codes1, codes2 = [], []
     n_pairs = 0
-    batch_reads = 1 << 14
+    # big batches: each align_batch is one SW dispatch, and dispatch latency
+    # through the device tunnel (~0.2 s RTT) dominates small batches
+    batch_reads = 1 << 16
     width = None
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
         if width is None:
