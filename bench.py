@@ -64,6 +64,14 @@ def main():
 
     from localhgt_tpu.pipeline.bkp import detect_breakpoint
 
+    # Run twice: the first pass absorbs one-time costs that are not
+    # pipeline work (XLA compiles on a cold cache, and the tunneled device
+    # terminal's multi-second reclamation of previous clients' GB-scale
+    # buffers, which lands on the first big allocation); the second pass is
+    # the steady-state throughput. Both walls are reported.
+    t0 = time.time()
+    acc = detect_breakpoint(ref, fq1, fq2, "bench", out, cfg=cfg)
+    wall_cold = time.time() - t0
     t0 = time.time()
     acc = detect_breakpoint(ref, fq1, fq2, "bench", out, cfg=cfg)
     wall = time.time() - t0
@@ -82,6 +90,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
         "wall_s": round(wall, 1),
+        "wall_cold_s": round(wall_cold, 1),
         "n_pairs": n_pairs,
         "recall": score.recall,
         "fdr": score.fdr,

@@ -197,4 +197,97 @@ void lht_glibc_random_array(uint32_t seed, int64_t n, float* out) {
   }
 }
 
+// Seed-and-extend candidate generation for the aligner
+// (localhgt_tpu/pipeline/align.py — replaces bwa's seeding; the reference
+// runs `bwa mem`, pipeline.sh:48). For each read and both strands, the
+// 2-bit packed seed at every `stride`-spaced start position is binary-
+// searched in the sorted seed index; up to `max_occ` occurrences per seed
+// are emitted as (read, qoff, ref_pos, strand) hits. The reverse-strand
+// seed hashes read the base codes backwards with complementation, so the
+// reverse-complemented read matrix is never materialized.
+//
+// Returns the total hit count, or -(needed) if `cap_hits` was too small
+// (caller retries with a bigger buffer). Hits are ordered by
+// (strand asc via separate halves? no — read asc, offset asc, occ asc,
+// strand fw-then-rc per read) — the Python side splits by strand before
+// diagonal grouping, making the per-strand order (read, offset, occ),
+// identical to the numpy path.
+int64_t lht_seed_hits(const uint8_t* codes, const int32_t* lengths,
+                      int64_t B, int64_t W,
+                      const uint64_t* sorted_hash, const int64_t* sorted_pos,
+                      int64_t K, int32_t seed_len, int32_t stride,
+                      int32_t max_occ, int32_t n_threads,
+                      int32_t* hit_read, int32_t* hit_qoff,
+                      int64_t* hit_pos, int8_t* hit_strand,
+                      int64_t cap_hits) {
+  if (n_threads < 1) n_threads = 1;
+  struct Hit { int32_t read; int32_t qoff; int64_t pos; int8_t strand; };
+  std::vector<std::vector<Hit>> parts(n_threads);
+
+  auto work = [&](int t, int64_t lo, int64_t hi) {
+    auto& out = parts[t];
+    for (int64_t r = lo; r < hi; r++) {
+      const uint8_t* row = codes + r * W;
+      int32_t len = lengths[r];
+      if (len > W) len = (int32_t)W;
+      int32_t nstart = len - seed_len + 1;
+      for (int strand = 0; strand < 2; strand++) {
+        for (int32_t o = 0; o < nstart; o += stride) {
+          uint64_t h = 0;
+          bool ok = true;
+          if (strand == 0) {
+            for (int z = 0; z < seed_len; z++) {
+              uint8_t c = row[o + z];
+              if (c >= 4) { ok = false; break; }
+              h = (h << 2) | c;
+            }
+          } else {
+            // rc-frame offset o reads original positions len-1-o downward
+            for (int z = 0; z < seed_len; z++) {
+              uint8_t c = row[len - 1 - o - z];
+              if (c >= 4) { ok = false; break; }
+              h = (h << 2) | (uint64_t)(3 - c);
+            }
+          }
+          if (!ok) continue;
+          // lower_bound / upper_bound over sorted_hash
+          int64_t a = 0, b = K;
+          while (a < b) { int64_t m = (a + b) >> 1;
+            if (sorted_hash[m] < h) a = m + 1; else b = m; }
+          int64_t s0 = a;
+          b = K;
+          while (a < b) { int64_t m = (a + b) >> 1;
+            if (sorted_hash[m] <= h) a = m + 1; else b = m; }
+          int64_t cnt = a - s0;
+          if (cnt > max_occ) cnt = max_occ;
+          for (int64_t j = 0; j < cnt; j++)
+            out.push_back({(int32_t)r, o, sorted_pos[s0 + j],
+                           (int8_t)strand});
+        }
+      }
+    }
+  };
+
+  std::vector<std::thread> ths;
+  int64_t per = (B + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; t++) {
+    int64_t lo = t * per, hi = lo + per;
+    if (hi > B) hi = B;
+    if (lo >= hi) break;
+    ths.emplace_back(work, t, lo, hi);
+  }
+  for (auto& th : ths) th.join();
+
+  int64_t total = 0;
+  for (auto& p : parts) total += (int64_t)p.size();
+  if (total > cap_hits) return -total;
+  int64_t w = 0;
+  for (auto& p : parts)
+    for (auto& hh : p) {
+      hit_read[w] = hh.read; hit_qoff[w] = hh.qoff;
+      hit_pos[w] = hh.pos; hit_strand[w] = hh.strand; w++;
+    }
+  return total;
+}
+
 }  // extern "C"

@@ -67,6 +67,17 @@ def get_lib():
         lib.lht_glibc_random_array.argtypes = [
             ctypes.c_uint32, ctypes.c_int64, ctypes.POINTER(ctypes.c_float)
         ]
+        lib.lht_seed_hits.restype = ctypes.c_int64
+        lib.lht_seed_hits.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int8),
+            ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -116,6 +127,46 @@ def iter_fastq_blocks(path: str, max_reads: int = 1 << 16, width: int = 192,
             yield codes[:n], lengths[:n], int(start.value)
     finally:
         lib.lht_fastq_close(h)
+
+
+def seed_hits(codes: np.ndarray, lengths: np.ndarray,
+              sorted_hash: np.ndarray, sorted_pos: np.ndarray,
+              seed_len: int, stride: int, max_occ: int,
+              threads: int = 8):
+    """Both-strand seed index hits: (read int32, qoff int32, pos int64,
+    strand int8) arrays, or None when the native library is unavailable.
+    qoff for strand 1 is in the reverse-complemented read frame (matching
+    the numpy seeding path in pipeline/align.py)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    lengths = np.ascontiguousarray(lengths, np.int32)
+    sh = np.ascontiguousarray(sorted_hash, np.uint64)
+    sp = np.ascontiguousarray(sorted_pos, np.int64)
+    B, W = codes.shape
+    cap = max(1 << 16, B * 8)
+    while True:
+        hr = np.empty(cap, np.int32)
+        ho = np.empty(cap, np.int32)
+        hp = np.empty(cap, np.int64)
+        hs = np.empty(cap, np.int8)
+        n = lib.lht_seed_hits(
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            B, W,
+            sh.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            sp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(sh), seed_len, stride, max_occ, threads,
+            hr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ho.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            hp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            hs.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            cap,
+        )
+        if n >= 0:
+            return hr[:n], ho[:n], hp[:n], hs[:n]
+        cap = int(-n) + 1024
 
 
 def glibc_random_array(seed: int, n: int) -> np.ndarray:

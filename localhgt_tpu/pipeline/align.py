@@ -22,6 +22,7 @@ and accurate_bkp.py:225-237 happens here, once).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -281,34 +282,56 @@ def align_batch(
     from localhgt_tpu.ops import sw as swmod
 
     B, L = codes.shape
-    rc = _revcomp_batch(codes, lengths)
     C = cfg.max_candidates
 
     # --- seed lookup on both strands ---
+    # native path: C++ hashes both strands in place (no revcomp matrix) and
+    # binary-searches the index with host threads; numpy fallback below
+    from localhgt_tpu.io import native
+
+    use_native = os.environ.get("LHT_NATIVE_IO", "1") != "0"
+    hits = native.seed_hits(
+        codes, lengths, index.sorted_hash, index.sorted_pos,
+        cfg.seed_len, cfg.seed_stride, 32,
+    ) if use_native else None
     cand = []
-    n_starts = L - cfg.seed_len + 1
-    stride_idx = (np.arange(0, max(n_starts, 1), cfg.seed_stride)
-                  if n_starts > 0 else np.zeros(0, np.int64))
-    for strand, arr in ((0, codes), (1, rc)):
-        h, valid = _pack_seeds_at(arr, cfg.seed_len, stride_idx)
-        qoff_grid = np.broadcast_to(stride_idx[None, :], h.shape)
-        flat_sel = valid.reshape(-1)
-        qh = h.reshape(-1)[flat_sel]
-        qread = np.broadcast_to(
-            np.arange(B)[:, None], h.shape
-        ).reshape(-1)[flat_sel]
-        qoff = qoff_grid.reshape(-1)[flat_sel]
-        hit_q, hit_pos = index.lookup(qh, max_occ=32)
-        r = qread[hit_q]
-        o = qoff[hit_q]
-        diag = hit_pos - o
-        cand.append(
-            _group_candidates(
-                r, diag, o, B, gap=cfg.window_pad, max_candidates=C,
-                min_votes=cfg.min_seed_votes,
+    if hits is not None:
+        hr, ho, hp, hs = hits
+        for strand in (0, 1):
+            m = hs == strand
+            cand.append(
+                _group_candidates(
+                    hr[m].astype(np.int64), hp[m] - ho[m],
+                    ho[m].astype(np.int64), B, gap=cfg.window_pad,
+                    max_candidates=C, min_votes=cfg.min_seed_votes,
+                )
+                + (strand,)
             )
-            + (strand,)
-        )
+    else:
+        rc_full = _revcomp_batch(codes, lengths)
+        n_starts = L - cfg.seed_len + 1
+        stride_idx = (np.arange(0, max(n_starts, 1), cfg.seed_stride)
+                      if n_starts > 0 else np.zeros(0, np.int64))
+        for strand, arr in ((0, codes), (1, rc_full)):
+            h, valid = _pack_seeds_at(arr, cfg.seed_len, stride_idx)
+            qoff_grid = np.broadcast_to(stride_idx[None, :], h.shape)
+            flat_sel = valid.reshape(-1)
+            qh = h.reshape(-1)[flat_sel]
+            qread = np.broadcast_to(
+                np.arange(B)[:, None], h.shape
+            ).reshape(-1)[flat_sel]
+            qoff = qoff_grid.reshape(-1)[flat_sel]
+            hit_q, hit_pos = index.lookup(qh, max_occ=32)
+            r = qread[hit_q]
+            o = qoff[hit_q]
+            diag = hit_pos - o
+            cand.append(
+                _group_candidates(
+                    r, diag, o, B, gap=cfg.window_pad, max_candidates=C,
+                    min_votes=cfg.min_seed_votes,
+                )
+                + (strand,)
+            )
 
     # merge strands: 2C candidates per read
     diag_all = np.concatenate([c[0] for c in cand], axis=1)
@@ -347,7 +370,12 @@ def align_batch(
         ref_w[:n_sel] = subref.codes[gather]
         q_sel = np.full((n_pad, L), 4, np.uint8)
         strands = strand_c.reshape(-1)[sel]
-        q_sel[:n_sel] = np.where(strands[:, None] == 1, rc[b_idx], codes[b_idx])
+        q_sel[:n_sel] = codes[b_idx]
+        rows1 = np.flatnonzero(strands == 1)
+        if len(rows1):  # revcomp only the selected reverse-strand rows
+            q_sel[rows1] = _revcomp_batch(
+                codes[b_idx[rows1]], lengths[b_idx[rows1]]
+            )
         out = swmod.sw_align_tiled(
             q_sel, ref_w,
             match=cfg.match, mismatch=cfg.mismatch,

@@ -97,3 +97,57 @@ def test_mapq_drops_for_repeats(world):
     read = c1[500:650].copy()
     t = _aln(sub2, idx2, [read])
     assert t.mapq[0] < 20
+
+
+def test_native_seed_hits_matches_numpy():
+    """C++ seed_hits must reproduce the numpy seeding path exactly (same
+    hits per strand in the same order)."""
+    from localhgt_tpu.io import native
+    from localhgt_tpu.pipeline import align as A
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(11)
+    ref_codes = rng.integers(0, 4, 5000).astype(np.uint8)
+    contigs = fasta.Contigs(
+        names=["c1"], lengths=np.array([5000]), offsets=np.array([0]),
+        codes=ref_codes).finalize()
+    subref = A.build_subref(contigs, [(1, 1, 5000)])
+    index = A.SeedIndex.build(subref, 19)
+
+    B, L = 32, 128
+    codes = np.full((B, L), 4, np.uint8)
+    lengths = rng.integers(60, L, B).astype(np.int32)
+    for i in range(B):
+        ln = lengths[i]
+        src = int(rng.integers(0, 5000 - ln))
+        seg = ref_codes[src: src + ln].copy()
+        if i % 3 == 0:  # reverse-complement some reads
+            seg = np.array([3 - c for c in seg[::-1]], np.uint8)
+        codes[i, :ln] = seg
+    codes[5, 30] = 4  # an N breaks seeds spanning it
+
+    hr, ho, hp, hs = native.seed_hits(
+        codes, lengths, index.sorted_hash, index.sorted_pos, 19, 5, 32)
+
+    # numpy reference
+    rc = A._revcomp_batch(codes, lengths)
+    for strand, arr in ((0, codes), (1, rc)):
+        n_starts = L - 19 + 1
+        stride_idx = np.arange(0, n_starts, 5)
+        h, valid = A._pack_seeds_at(arr, 19, stride_idx)
+        # numpy path hashes padded tails too; restrict to in-read seeds
+        inread = stride_idx[None, :] + 19 <= lengths[:, None]
+        valid = valid & inread
+        qh = h.reshape(-1)[valid.reshape(-1)]
+        qread = np.broadcast_to(np.arange(B)[:, None], h.shape).reshape(-1)[
+            valid.reshape(-1)]
+        qoff = np.broadcast_to(stride_idx[None, :], h.shape).reshape(-1)[
+            valid.reshape(-1)]
+        hit_q, hit_pos = index.lookup(qh, max_occ=32)
+        m = hs == strand
+        np.testing.assert_array_equal(hr[m], qread[hit_q])
+        np.testing.assert_array_equal(ho[m], qoff[hit_q])
+        np.testing.assert_array_equal(hp[m], hit_pos)
