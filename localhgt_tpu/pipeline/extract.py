@@ -62,8 +62,17 @@ def _batch_width(lmax: int) -> int:
     return max(192, -(-lmax // 64) * 64)
 
 
-def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
-    """Stage A: build the per-hash count tables from both FASTQs."""
+HASH_CACHE_LIMIT = 2 << 30  # keep cached hashes for the vote pass below 2 GB
+
+
+def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
+                cache_limit: int = HASH_CACHE_LIMIT):
+    """Stage A: build the per-hash count tables from both FASTQs.
+
+    Also opportunistically caches the device-resident canonical hashes of
+    every batch (plus the accept masks) for the stage-C vote pass; the cache
+    is dropped when it would exceed `cache_limit` bytes (big real samples),
+    in which case the vote pass re-streams the FASTQs."""
     import jax.numpy as jnp
 
     import time as _time
@@ -78,6 +87,8 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
     clip_every = max(1, 120 // max(cfg.kmer.least_depth, 1) - 2)
     t_io = t_dev = 0.0
     nb = 0
+    cache = {fq1: [], fq2: []}
+    cache_bytes = 0
     for path in (fq1, fq2):
         t0 = _time.perf_counter()
         for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
@@ -88,10 +99,21 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
             codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
             t1 = _time.perf_counter()
             t_io += t1 - t0
-            tables = count.count_reads_step(
+            want_cache = cache is not None
+            out = count.count_reads_step(
                 tables, jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth, clip=False,
+                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth,
+                clip=False, return_hashes=want_cache,
             )
+            if want_cache:
+                tables, h, v = out
+                cache_bytes += h.size * 4 + v.size
+                if cache_bytes > cache_limit:
+                    cache = None
+                else:
+                    cache[path].append((h, v, jnp.asarray(acc)))
+            else:
+                tables = out
             since_clip += 1
             if since_clip >= clip_every:  # int8 headroom: deltas <= cap/batch
                 tables = count.clip_tables(tables, cfg.kmer.least_depth)
@@ -103,7 +125,9 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16):
             t_dev += t0 - t1
     tables = count.clip_tables(tables, cfg.kmer.least_depth)
     log.info("count: %d batches, host-io %.1fs, dispatch %.1fs", nb, t_io, t_dev)
-    return tables, ratio, n_pairs
+    if cache is not None and len(cache[fq1]) != len(cache[fq2]):
+        cache = None  # unpaired batch structure; vote re-streams
+    return tables, ratio, n_pairs, cache
 
 
 from functools import partial
@@ -176,13 +200,25 @@ def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
     return per_contig
 
 
-def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio, batch_reads=1 << 15):
-    """Stage C: second read pass -> peak votes."""
+def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
+               batch_reads=1 << 15, cache=None):
+    """Stage C: second read pass -> peak votes.
+
+    With a stage-A hash `cache` (and the direct map), the pass runs entirely
+    from device-resident arrays: no FASTQ re-read, no transfer, no re-hash."""
     import jax.numpy as jnp
 
     k = cfg.kmer.k
     peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
     use_map = pset.direct_map is not None
+    if use_map and cache is not None:
+        pc = jnp.asarray(pset.contig.astype(np.int32))
+        for (h1, v1, acc1), (h2, v2, _) in zip(cache[fq1], cache[fq2]):
+            peak_filter = peaks_mod.split_vote_from_hashes(
+                peak_filter, h1, v1, h2, v2, acc1, pset.direct_map, pc,
+                k=k, min_base_num=cfg.scan.min_base_num,
+            )
+        return np.asarray(peak_filter)
     if use_map:
         sh = pset.direct_map
         sp = jnp.zeros(1, jnp.int32)
@@ -217,7 +253,7 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
 
     t = _time.time()
     log.info("stage A: k-mer counting")
-    tables, ratio, n_pairs = count_kmers(fq1, fq2, masks, cfg)
+    tables, ratio, n_pairs, hash_cache = count_kmers(fq1, fq2, masks, cfg)
     import jax as _jax
     _jax.block_until_ready(tables)
     log.info("counted %d pairs (ratio %.4f) in %.1fs", n_pairs, ratio,
@@ -258,7 +294,7 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
 
     t = _time.time()
     log.info("stage C: split-read vote over %d peaks", pset.n)
-    votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio)
+    votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio, cache=hash_cache)
     log.info("vote pass in %.1fs", _time.time() - t)
 
     kept = np.flatnonzero(votes[1:] >= cfg.scan.min_reads) + 1

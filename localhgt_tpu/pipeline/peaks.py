@@ -269,8 +269,45 @@ def split_vote_batch(
 
     pk1 = candidates(codes1, len1)
     pk2 = candidates(codes2, len2)
+    return _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
+                      min_base_num, n_slots)
+
+
+@partial(jax.jit, static_argnames=("k", "min_base_num", "n_slots"))
+def split_vote_from_hashes(
+    peak_filter, h1, v1, h2, v2, accept, direct_map, peak_contig,
+    k: int, min_base_num: int = 6, n_slots: int = 8,
+):
+    """split_vote_batch fed with cached canonical hashes from the counting
+    pass (stage A) — skips the second FASTQ read, host->device transfer and
+    re-hash entirely. h: uint32 [C, B, L]; v: bool [B, L] (validity & k-mer
+    window mask, before the down-sampling accept gate)."""
+    import jax.numpy as jnp
+
+    def cands(h, v):
+        pk = direct_map[h.astype(jnp.int32)]
+        return jnp.where(v[None, :, :] & (h != 0), pk, 0)
+
+    return _vote_core(peak_filter, cands(h1, v1), cands(h2, v2),
+                      peak_contig, accept, min_base_num, n_slots)
+
+
+def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
+               min_base_num: int, n_slots: int):
+    import jax.numpy as jnp
+
+    B = pk1.shape[1]
     pk = jnp.concatenate([pk1, pk2], axis=2)          # [C, B, P]
     genome = peak_contig[pk]                           # [C, B, P] (0 sentinel)
+    if jax.default_backend() == "tpu":
+        # the whole sequential greedy runs inside one Pallas kernel (state
+        # resident in VMEM); the lax.scan below is the portable fallback
+        from localhgt_tpu.ops import pallas_vote
+
+        slots_g, slots_c, slots_p, hits = pallas_vote.vote_state(
+            genome, pk, n_slots=n_slots)
+        return _vote_tail(peak_filter, slots_g, slots_c, slots_p, hits,
+                          accept, min_base_num)
     # pad position axis to a multiple of UNROLL, then scan over position
     # blocks with the sequential greedy unrolled inside the step body — the
     # per-position work is tiny, so fewer+fatter scan steps cut dispatch
@@ -335,6 +372,15 @@ def split_vote_batch(
         jnp.zeros(B, jnp.int32),
     )
     (slots_g, slots_c, slots_p, hits), _ = jax.lax.scan(step, init, (genome, pk))
+    return _vote_tail(peak_filter, slots_g, slots_c, slots_p, hits, accept,
+                      min_base_num)
+
+
+def _vote_tail(peak_filter, slots_g, slots_c, slots_p, hits, accept,
+               min_base_num: int):
+    """check_split's top-2-genome gate + the peak_filter bump
+    (cpp:161-202,498-505), from the final register state [B, G]."""
+    import jax.numpy as jnp
 
     qual = (slots_c >= min_base_num) & (slots_g != 0)
     nq = jnp.sum(qual, axis=1)

@@ -145,3 +145,41 @@ def test_build_direct_map_device():
     dm_host = np.zeros(1 << k, np.int32)
     dm_host[pset_host.sorted_hash.astype(np.int64)] = pset_host.sorted_peak
     np.testing.assert_array_equal(dm, dm_host)
+
+
+def test_pallas_vote_state_matches_scan():
+    """The Pallas greedy-scan kernel (interpret mode on CPU) must produce
+    the identical final register state as the lax.scan path."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.ops import pallas_vote
+
+    rng = np.random.default_rng(9)
+    C, B, P = 3, 6, 40
+    # sparse candidates over 4 genomes / 12 peaks
+    pk = (rng.integers(0, 13, (C, B, P)) *
+          (rng.random((C, B, P)) < 0.3)).astype(np.int32)
+    peak_contig = np.array([0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4], np.int32)
+    genome = peak_contig[pk]
+
+    got = pallas_vote.vote_state(jnp.asarray(genome), jnp.asarray(pk),
+                                 interpret=True)
+
+    # reference: the lax.scan in pipeline/peaks.py via split-in (emulate)
+    import jax
+
+    import localhgt_tpu.pipeline.peaks as pm_mod
+
+    backend = jax.default_backend()
+    assert backend != "tpu"  # conftest forces cpu; scan path is active
+    pf = jnp.zeros(14, jnp.int32)
+    # run _vote_core's scan by calling it directly with pk halves
+    half = P // 2
+    out_scan = pm_mod._vote_core(
+        pf, jnp.asarray(pk[:, :, :half]), jnp.asarray(pk[:, :, half:]),
+        jnp.asarray(peak_contig), jnp.asarray(np.ones(B, bool)),
+        min_base_num=2, n_slots=8)
+    out_pal = pm_mod._vote_tail(
+        pf, *[jnp.asarray(np.asarray(x)) for x in got],
+        jnp.asarray(np.ones(B, bool)), 2)
+    np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_pal))
