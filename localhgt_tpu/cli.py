@@ -56,6 +56,29 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("-f", default="complete_HGT_event.csv", help="output CSV")
     e.add_argument("-n", type=int, default=2, help="min split reads")
     e.add_argument("-m", type=int, default=500, help="min transfer length")
+
+    a = sub.add_parser(
+        "analyze",
+        help="Downstream cohort analyses (paper_results equivalents: "
+        "stats, microhomology, mechanism, network, classifier).")
+    a.add_argument("what", choices=[
+        "stats", "microhomology", "mechanism", "network", "classifier"])
+    a.add_argument("-b", help="folder with *.acc.csv files")
+    a.add_argument("-r", help="reference FASTA (microhomology/mechanism)")
+    a.add_argument("-e", help="event CSV (mechanism)")
+    a.add_argument("-f", default="", help="output CSV/JSON path (default: stdout)")
+    a.add_argument("--pheno", help="phenotype CSV: sample,cohort,disease[,full]")
+    a.add_argument("--meta", help="UHGG genomes metadata TSV (taxonomy)")
+    a.add_argument("--group1", default="CRC")
+    a.add_argument("--group2", default="control")
+    a.add_argument("--level", default="genome",
+                   help="taxonomy level for network edges")
+    a.add_argument("--n-random", type=int, default=10000,
+                   help="random junction pairs for the microhomology null")
+    a.add_argument("--tandem", help="tandem-repeat interval file (mechanism)")
+    a.add_argument("--tei", help="TE insertion interval file (mechanism)")
+    a.add_argument("--model", choices=["logreg", "rf"], default="logreg")
+    a.add_argument("--markers", type=int, default=20)
     return p
 
 
@@ -96,7 +119,82 @@ def main(argv=None) -> int:
                          min_hgt_len=args.m)
         detect_event(args.r, args.b, args.f, cfg)
         return 0
+    if args.command == "analyze":
+        return run_analyze(args)
     build_parser().print_help()
+    return 1
+
+
+def run_analyze(a) -> int:
+    """Dispatch the downstream analyses (localhgt_tpu.analysis)."""
+    import json
+
+    from localhgt_tpu.analysis import records
+    from localhgt_tpu.analysis.taxonomy import Taxonomy
+
+    def emit(obj):
+        text = json.dumps(obj, indent=2, default=str)
+        if a.f:
+            with open(a.f, "w") as f:
+                f.write(text + "\n")
+        else:
+            print(text)
+
+    pheno = records.read_phenotype(a.pheno) if a.pheno else None
+    tax = Taxonomy(a.meta)
+
+    if a.what == "mechanism":
+        from localhgt_tpu.analysis import mechanism
+        from localhgt_tpu.index import reference
+
+        contigs = reference.build(a.r)
+        events = mechanism.read_events(a.e)
+        tandem = mechanism.read_interval_bed(a.tandem) if a.tandem else None
+        tei = mechanism.read_interval_bed(a.tei) if a.tei else None
+        out = mechanism.classify_events(events, contigs, tandem, tei)
+        emit([{**{k: v for k, v in c.items() if k != "event"},
+               "sample": c["event"].sample,
+               "receptor": c["event"].receptor,
+               "donor": c["event"].donor} for c in out])
+        return 0
+
+    samples = records.load_cohort(a.b, phenotypes=pheno)
+    if a.what == "stats":
+        from localhgt_tpu.analysis import stats
+
+        contigs = None
+        if a.r:
+            from localhgt_tpu.index import reference
+
+            contigs = reference.build(a.r)
+        out = stats.summary(samples, contigs)
+        if pheno:
+            out["group_test"] = stats.group_count_test(
+                samples, a.group1, a.group2)
+        emit(out)
+        return 0
+    if a.what == "microhomology":
+        from localhgt_tpu.analysis import microhomology
+        from localhgt_tpu.index import reference
+
+        contigs = reference.build(a.r)
+        bkps = [b for s in samples for b in s.bkps]
+        emit(microhomology.compare_vs_random(
+            bkps, contigs, n_random=a.n_random))
+        return 0
+    if a.what == "network":
+        from localhgt_tpu.analysis import network
+
+        emit(network.compare_groups(samples, tax, a.group1, a.group2))
+        return 0
+    if a.what == "classifier":
+        from localhgt_tpu.analysis import classifier
+
+        out = classifier.train_and_eval(
+            samples, a.group1, a.group2, marker_num=a.markers, model=a.model)
+        out.pop("markers", None)
+        emit(out)
+        return 0
     return 1
 
 

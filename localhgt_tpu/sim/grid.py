@@ -21,13 +21,23 @@ from localhgt_tpu.config import Config, KmerConfig
 from localhgt_tpu.sim import evaluate
 from localhgt_tpu.sim.simulate import SimParams, read_truth, simulate_sample
 
-# grids follow simulation.py Parameters (:819-891)
+# grids follow simulation.py Parameters (:819-891) and the scenario
+# functions of the paper harness (snp/depth/length/insert-size/donor/
+# background-complexity/data-amount, simulation.py:339-817)
 SCENARIOS = {
     "snp": [dict(snp_rate=r) for r in (0.01, 0.02, 0.03, 0.04, 0.05)],
     "depth": [dict(depth=d) for d in (10, 30, 50)],
     "readlen": [dict(read_len=l) for l in (75, 100, 150)],
+    "insert": [dict(mean_frag=f) for f in (300, 350, 500, 700)],
+    "donor": [dict(donor_in=True), dict(donor_in=False)],
+    # CAMI-style community complexity: more background genomes around the
+    # same number of implanted events
+    "background": [dict(n_genomes=n) for n in (20, 40, 80)],
     "quick": [dict(snp_rate=0.01), dict(snp_rate=0.03)],
 }
+
+# data-amount sweep adjusts the down-sampling budget, not the simulation
+AMOUNT_FRACTIONS = (1.0, 0.5, 0.25)
 
 
 def run_one(outdir: str, name: str, sim_kw: dict, cfg: Config):
@@ -59,10 +69,20 @@ def run_grid(outdir: str, scenario: str, cfg: Config | None = None):
     cfg = cfg or Config().replace(kmer=KmerConfig(k=24))
     os.makedirs(outdir, exist_ok=True)
     results = []
-    for i, kw in enumerate(SCENARIOS[scenario]):
-        name = f"{scenario}{i}"
-        results.append(run_one(outdir, name, kw, cfg))
-        print(results[-1], flush=True)
+    if scenario == "amount":
+        # data-amount sweep: same sample, shrinking down-sample budget
+        # (simulation.py's data-amount scenario; --sample <=1 = proportion)
+        for i, frac in enumerate(AMOUNT_FRACTIONS):
+            c = cfg.replace(
+                kmer=dataclasses.replace(cfg.kmer, sample=frac))
+            results.append(run_one(outdir, f"amount{i}", {}, c))
+            results[-1]["param"] = f"sample={frac}"
+            print(results[-1], flush=True)
+    else:
+        for i, kw in enumerate(SCENARIOS[scenario]):
+            name = f"{scenario}{i}"
+            results.append(run_one(outdir, name, kw, cfg))
+            print(results[-1], flush=True)
     out_csv = os.path.join(outdir, f"grid_{scenario}.csv")
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(results[0]))
@@ -74,7 +94,8 @@ def run_grid(outdir: str, scenario: str, cfg: Config | None = None):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--scenario", choices=list(SCENARIOS), default="quick")
+    ap.add_argument("--scenario",
+                    choices=list(SCENARIOS) + ["amount"], default="quick")
     ap.add_argument("-k", type=int, default=24)
     a = ap.parse_args(argv)
     cfg = Config().replace(kmer=KmerConfig(k=a.k))

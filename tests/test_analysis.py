@@ -260,3 +260,26 @@ def test_taxonomy_metadata(tmp_path):
     b = records.BkpRecord("gA_1", 1, "r", "+", "gB_1", 2, "l", "+",
                           "False", 0.9, 1, 1, 5, 1)
     assert tax.edge_tag(b, "phylum") == "gB&p__Firmicutes"
+
+
+# ---------- analyze CLI ----------
+
+def test_analyze_cli_stats_and_microhomology(toy_cohort, tmp_path, capsys):
+    from localhgt_tpu import cli
+
+    contigs, sdir, ref = toy_cohort
+    out = tmp_path / "stats.json"
+    rc = cli.main(["analyze", "stats", "-b", sdir, "-r", ref,
+                   "-f", str(out)])
+    assert rc == 0
+    import json
+
+    st = json.loads(out.read_text())
+    assert st["n_samples"] == 4
+
+    out2 = tmp_path / "mh.json"
+    rc = cli.main(["analyze", "microhomology", "-b", sdir, "-r", ref,
+                   "--n-random", "32", "-f", str(out2)])
+    assert rc == 0
+    mh = json.loads(out2.read_text())
+    assert mh["hgt_mean"] >= 25
