@@ -35,26 +35,48 @@ import jax.numpy as jnp
 
 from localhgt_tpu.ops import encode
 
-TABLE_BITS = 30   # largest k stored flat (indices stay int32)
-SHARD_WIDTH_BITS = 23  # sharded row width: both dims are TPU tile multiples
+TABLE_BITS = 30   # largest k stored as one count per byte (indices int32)
 SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+# k > 30: two 4-bit saturating fields per byte (uint8[2^(k-1)] = 2 GB at
+# k=32, vs 4 GB one-per-byte — three such tables then fit a 16 GB chip next
+# to their scatter temps, the SURVEY section 7 "pack the counts" plan).
+# Convention: int8 dtype = plain table, uint8 dtype = packed-pair table.
+PACKED_FIELD_MAX = 15
+
+
+PACK_WIDTH_BITS = 23  # packed-table row width (both dims tile multiples;
+#                       a 2^31-byte 1-D array would overflow jax's int32
+#                       index-bound constants)
 
 
 def make_table(k: int) -> jnp.ndarray:
     if k <= TABLE_BITS:
         return jnp.zeros(1 << k, dtype=jnp.int8)
-    return jnp.zeros((1 << (k - SHARD_WIDTH_BITS), 1 << SHARD_WIDTH_BITS),
-                     dtype=jnp.int8)
+    return jnp.zeros((1 << (k - 1 - PACK_WIDTH_BITS), 1 << PACK_WIDTH_BITS),
+                     dtype=jnp.uint8)
+
+
+def is_packed(table) -> bool:
+    return table.dtype == jnp.uint8
+
+
+def _packed_byte_idx(h):
+    byte = h >> jnp.uint32(1)
+    hi = (byte >> jnp.uint32(PACK_WIDTH_BITS)).astype(jnp.int32)
+    lo = (byte & jnp.uint32((1 << PACK_WIDTH_BITS) - 1)).astype(jnp.int32)
+    return hi, lo
 
 
 def table_lookup(table, h):
     """Gather counts for uint32 hashes from a count table."""
-    if table.ndim == 1:
-        # k <= 30: every hash < 2^30 fits int32; 1-D flat gather
-        return table[h.astype(jnp.int32)]
-    hi = (h >> jnp.uint32(SHARD_WIDTH_BITS)).astype(jnp.int32)
-    lo = (h & jnp.uint32((1 << SHARD_WIDTH_BITS) - 1)).astype(jnp.int32)
-    return table[hi, lo]
+    if is_packed(table):
+        hi, lo = _packed_byte_idx(h)
+        byte = table[hi, lo]
+        shift = ((h & jnp.uint32(1)) << jnp.uint32(2)).astype(jnp.uint8)
+        return ((byte >> shift) & jnp.uint8(15)).astype(jnp.int8)
+    # k <= 30: every hash < 2^30 fits int32; 1-D flat gather
+    return table[h.astype(jnp.int32)]
 
 
 def capped_batch_delta(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
@@ -92,19 +114,26 @@ def capped_batch_delta_multi(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
 def scatter_delta(table, s, contrib):
     """Scatter sorted hashes + capped deltas into a count table.
 
-    The flat (k <= 30) path is a 1-D scatter — the 2-D advanced-indexing
-    form compiles to a far slower TPU scatter. Sentinels map to a positive
-    out-of-bounds index: negative indices (sentinel cast to int32 = -1)
-    drop correctly but hit a ~8x slower TPU scatter path (measured)."""
-    if table.ndim == 1:
-        n = table.shape[0]
-        lo = jnp.where(s == SENTINEL, jnp.int32(n), s.astype(jnp.int32))
-        return table.at[lo].add(contrib, mode="drop")
-    n_shards = table.shape[0]
-    hi = (s >> jnp.uint32(SHARD_WIDTH_BITS)).astype(jnp.int32)
-    hi = jnp.where(s == SENTINEL, jnp.int32(n_shards), hi)  # OOB -> dropped
-    lo = (s & jnp.uint32((1 << SHARD_WIDTH_BITS) - 1)).astype(jnp.int32)
-    return table.at[hi, lo].add(contrib, mode="drop")
+    The flat path is a 1-D scatter — other forms compile to far slower TPU
+    scatters. Sentinels map to a positive out-of-bounds index where
+    possible: negative indices (sentinel cast to int32 = -1) drop correctly
+    but hit a ~8x slower TPU scatter path (measured).
+
+    Packed tables scatter `contrib << 4*(h&1)` into the byte h>>1; per-batch
+    field totals are <= cap (rank-capped), so no carry can cross fields as
+    long as clip_tables runs before a field exceeds PACKED_FIELD_MAX."""
+    if is_packed(table):
+        hi, lo = _packed_byte_idx(s)
+        # the sentinel maps to a valid byte, but its contrib is 0
+        val = jnp.where(
+            (s & jnp.uint32(1)) == 1,
+            (contrib.astype(jnp.uint8) << jnp.uint8(4)),
+            contrib.astype(jnp.uint8),
+        )
+        return table.at[hi, lo].add(val, mode="drop")
+    n = table.shape[0]
+    lo = jnp.where(s == SENTINEL, jnp.int32(n), s.astype(jnp.int32))
+    return table.at[lo].add(contrib, mode="drop")
 
 
 def count_batch(table, hashes, valid, cap: int = 3):
@@ -157,12 +186,31 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
 
 @partial(jax.jit, static_argnames=("cap",), donate_argnums=(0,))
 def clip_tables(tables, cap: int = 3):
-    return tuple(jnp.minimum(t, jnp.int8(cap)) for t in tables)
+    out = []
+    for t in tables:
+        if is_packed(t):
+            lo = jnp.minimum(t & jnp.uint8(15), jnp.uint8(cap))
+            hi = jnp.minimum(t >> jnp.uint8(4), jnp.uint8(cap))
+            out.append(lo | (hi << jnp.uint8(4)))
+        else:
+            out.append(jnp.minimum(t, jnp.int8(cap)))
+    return tuple(out)
+
+
+def clip_every_batches(k: int, cap: int = 3) -> int:
+    """How many un-clipped batches the table dtype can absorb: int8 has
+    127/cap headroom; a packed 4-bit field only (15-cap)/cap."""
+    if k > TABLE_BITS:
+        return max(1, (PACKED_FIELD_MAX - cap) // max(cap, 1))
+    return max(1, 120 // max(cap, 1) - 2)
 
 
 def table_lookup_np(table_host, h):
-    """Host-side lookup on np.asarray(table) ([shards, width])."""
+    """Host-side lookup on np.asarray(table) (plain or packed)."""
     import numpy as np
 
-    flat = table_host.reshape(-1)
-    return flat[np.asarray(h, dtype=np.int64)]
+    h = np.asarray(h, dtype=np.int64)
+    if table_host.dtype == np.uint8:  # packed pair table
+        byte = table_host.reshape(-1)[h >> 1]
+        return ((byte >> ((h & 1) * 4)) & 15).astype(np.int8)
+    return table_host.reshape(-1)[h]

@@ -84,7 +84,7 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
     n_pairs = 0
     width = None
     since_clip = 0
-    clip_every = max(1, 120 // max(cfg.kmer.least_depth, 1) - 2)
+    clip_every = count.clip_every_batches(k, cfg.kmer.least_depth)
     t_io = t_dev = 0.0
     nb = 0
     cache = {fq1: [], fq2: []}

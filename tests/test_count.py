@@ -87,21 +87,41 @@ def test_sharded_table_layout_k32_semantics():
     import jax.numpy as jnp
 
     t = count.make_table(32)
-    # both dims are TPU tile multiples (no sublane padding blow-up)
-    assert t.shape == (1 << 9, 1 << 23)
-    idx = np.array([5, 5, 5, (1 << 31) + 9, (3 << 30) + 7, 0xFFFFFFFE],
+    # two 4-bit fields per byte: 2 GB instead of 4 GB at k=32
+    w = count.PACK_WIDTH_BITS
+    assert t.shape == (1 << (31 - w), 1 << w) and t.dtype == jnp.uint8
+    idx = np.array([4, 4, 4, 4, 5, (1 << 31) + 9, (3 << 30) + 7, 0xFFFFFFFE],
                    dtype=np.uint32)
-    valid = np.array([True, True, True, True, True, False])
+    valid = np.array([True] * 7 + [False])
     s, contrib = count.capped_batch_delta(jnp.asarray(idx), jnp.asarray(valid), 3)
     t = count.scatter_delta(t, s, contrib)
-    h = jnp.asarray(idx[:5])
+    h = jnp.asarray(idx[[0, 4, 5, 6]])
     looked = np.asarray(count.table_lookup(t, h))
-    t = np.asarray(t)
-    w = count.SHARD_WIDTH_BITS
-    m = (1 << w) - 1
-    assert t[5 >> w, 5] == 3
-    assert t[((1 << 31) + 9) >> w, 9] == 1
-    assert t[((3 << 30) + 7) >> w, 7] == 1
-    assert t[0, 0] == 0
-    assert t[0xFFFFFFFE >> w, 0xFFFFFFFE & m] == 0  # invalid entry dropped
-    np.testing.assert_array_equal(looked, [3, 3, 3, 1, 1])
+    # hashes 4 and 5 share byte 2 (low/high field); 4 saturates at cap=3
+    np.testing.assert_array_equal(looked, [3, 1, 1, 1])
+    t = np.asarray(t).reshape(-1)
+    assert t[2] == (3 | (1 << 4))
+    assert t[((1 << 31) + 9) >> 1] == (1 << 4)  # odd hash -> high field
+    assert t[((3 << 30) + 7) >> 1] == (1 << 4)
+    assert t[0] == 0
+    assert t[0xFFFFFFFE >> 1] == 0  # invalid entry dropped (contrib 0)
+
+
+def test_packed_clip_and_lookup_roundtrip():
+    """Packed-table clip keeps per-field min(total, cap) across batches."""
+    import jax.numpy as jnp
+
+    k = 31
+    t = count.make_table(k)
+    assert count.is_packed(t)
+    idx = np.array([10, 10, 10, 10, 10, 11, 11], dtype=np.uint32)
+    valid = np.ones(7, bool)
+    for _ in range(3):  # repeated batches would overflow 4 bits without clip
+        s, contrib = count.capped_batch_delta(
+            jnp.asarray(idx), jnp.asarray(valid), 3)
+        t = count.scatter_delta(t, s, contrib)
+        (t,) = count.clip_tables((t,), 3)
+    looked = np.asarray(count.table_lookup(t, jnp.asarray(idx[[0, 5]])))
+    np.testing.assert_array_equal(looked, [3, 3])
+    assert count.clip_every_batches(31) == 4
+    assert count.clip_every_batches(30) == 38
