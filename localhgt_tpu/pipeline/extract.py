@@ -211,21 +211,26 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
     k = cfg.kmer.k
     peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
     use_map = pset.direct_map is not None
-    if use_map and cache is not None:
-        pc = jnp.asarray(pset.contig.astype(np.int32))
-        for (h1, v1, acc1), (h2, v2, _) in zip(cache[fq1], cache[fq2]):
-            peak_filter = peaks_mod.split_vote_from_hashes(
-                peak_filter, h1, v1, h2, v2, acc1, pset.direct_map, pc,
-                k=k, min_base_num=cfg.scan.min_base_num,
-            )
-        return np.asarray(peak_filter)
+    bitmap = None
+    use_bitmap = False
     if use_map:
         sh = pset.direct_map
         sp = jnp.zeros(1, jnp.int32)
     else:
         sh = jnp.asarray(pset.sorted_hash)
         sp = jnp.asarray(pset.sorted_peak)
+        if len(pset.sorted_hash):
+            bitmap = peaks_mod.build_peak_bitmap(sh, k=k)
+            use_bitmap = True
     pc = jnp.asarray(pset.contig.astype(np.int32))
+    if cache is not None:
+        for (h1, v1, acc1), (h2, v2, _) in zip(cache[fq1], cache[fq2]):
+            peak_filter = peaks_mod.split_vote_from_hashes(
+                peak_filter, h1, v1, h2, v2, acc1, sh, sp, pc,
+                k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
+                bitmap=bitmap, use_bitmap=use_bitmap,
+            )
+        return np.asarray(peak_filter)
     masks_j = jnp.asarray(masks)
     width = None
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
@@ -242,6 +247,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
             jnp.asarray(acc_p),
             masks_j, sh, sp, pc,
             k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
+            bitmap=bitmap, use_bitmap=use_bitmap,
         )
     return np.asarray(peak_filter)
 

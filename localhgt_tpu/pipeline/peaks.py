@@ -229,12 +229,36 @@ def build_direct_map(per_contig, contigs, tables, masks, k: int):
     )
 
 
-@partial(jax.jit, static_argnames=("k", "min_base_num", "n_slots", "use_map"))
+@partial(jax.jit, static_argnames=("k",))
+def build_peak_bitmap(sorted_hash, k: int):
+    """One-bit-per-hash presence filter (uint8[2^(k-3)], 512 MB at k=32)
+    for the binary-search vote fallback: ~99.6% of queries miss, and a
+    single bitmap gather resolves them with far better HBM locality than
+    log2(K) dependent binary-search probes. Built on device with 8
+    scatter-max passes (one per bit position — indices unique per pass)."""
+    import jax.numpy as jnp
+
+    bm = jnp.zeros(1 << max(k - 3, 3), jnp.uint8)
+    byte_idx = (sorted_hash >> jnp.uint32(3)).astype(jnp.int32)
+    bit = (sorted_hash & jnp.uint32(7)).astype(jnp.uint8)
+    oob = jnp.int32(bm.shape[0])
+    for b in range(8):
+        m = bit == b
+        idx = jnp.where(m, byte_idx, oob)
+        bm = bm.at[idx].max(
+            jnp.where(m, jnp.uint8(1 << b), jnp.uint8(0)), mode="drop")
+    return bm
+
+
+@partial(jax.jit,
+         static_argnames=("k", "min_base_num", "n_slots", "use_map",
+                          "use_bitmap"))
 def split_vote_batch(
     peak_filter,
     codes1, len1, codes2, len2, accept,
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
+    bitmap=None, use_bitmap: bool = False,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -253,19 +277,8 @@ def split_vote_batch(
         h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
         L = codes.shape[-1]
         inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
-        v = v & inwin
-        if use_map:
-            # sorted_hash IS the direct map int32[2^k]: one gather per query
-            # instead of log2(K) dependent binary-search gathers (the vote
-            # pass bottleneck on HBM-latency-bound random access)
-            pk = sorted_hash[h.astype(jnp.int32)]
-            return jnp.where(v[None, :, :] & (h != 0), pk, 0)
-        idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))
-        found = (sorted_hash[idx] == h) if K else jnp.zeros_like(h, bool)
-        pk = sorted_peak[idx] if K else jnp.zeros(h.shape, jnp.int32)
-        ok = found & v[None, :, :]
-        pk = jnp.where(ok, pk, 0)
-        return pk  # [C, B, L], 0 = no peak
+        return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
+                                  bitmap, use_map, use_bitmap)
 
     pk1 = candidates(codes1, len1)
     pk2 = candidates(codes2, len2)
@@ -273,23 +286,50 @@ def split_vote_batch(
                       min_base_num, n_slots)
 
 
-@partial(jax.jit, static_argnames=("k", "min_base_num", "n_slots"))
+def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
+                       use_map: bool, use_bitmap: bool):
+    """Peak-candidate lookup from canonical hashes — direct map (k <= 30),
+    bitmap-prefiltered binary search, or plain binary search."""
+    import jax.numpy as jnp
+
+    if use_map:
+        pk = sorted_hash[h.astype(jnp.int32)]
+        return jnp.where(v[None, :, :] & (h != 0), pk, 0)
+    K = sorted_hash.shape[0]
+    if use_bitmap and K:
+        byte = bitmap[(h >> jnp.uint32(3)).astype(jnp.int32)]
+        maybe = ((byte >> (h & jnp.uint32(7)).astype(jnp.uint8))
+                 & jnp.uint8(1)) == 1
+        hq = jnp.where(maybe, h, sorted_hash[0])
+        idx = jnp.clip(jnp.searchsorted(sorted_hash, hq), 0, K - 1)
+        found = (sorted_hash[idx] == hq) & maybe
+        return jnp.where(found & v[None, :, :], sorted_peak[idx], 0)
+    idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))
+    found = (sorted_hash[idx] == h) if K else jnp.zeros_like(h, bool)
+    pk = sorted_peak[idx] if K else jnp.zeros(h.shape, jnp.int32)
+    return jnp.where(found & v[None, :, :], pk, 0)
+
+
+@partial(jax.jit,
+         static_argnames=("k", "min_base_num", "n_slots", "use_map",
+                          "use_bitmap"))
 def split_vote_from_hashes(
-    peak_filter, h1, v1, h2, v2, accept, direct_map, peak_contig,
-    k: int, min_base_num: int = 6, n_slots: int = 8,
+    peak_filter, h1, v1, h2, v2, accept, sorted_hash, sorted_peak,
+    peak_contig,
+    k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = True,
+    bitmap=None, use_bitmap: bool = False,
 ):
     """split_vote_batch fed with cached canonical hashes from the counting
     pass (stage A) — skips the second FASTQ read, host->device transfer and
     re-hash entirely. h: uint32 [C, B, L]; v: bool [B, L] (validity & k-mer
-    window mask, before the down-sampling accept gate)."""
-    import jax.numpy as jnp
-
-    def cands(h, v):
-        pk = direct_map[h.astype(jnp.int32)]
-        return jnp.where(v[None, :, :] & (h != 0), pk, 0)
-
-    return _vote_core(peak_filter, cands(h1, v1), cands(h2, v2),
-                      peak_contig, accept, min_base_num, n_slots)
+    window mask, before the down-sampling accept gate). With use_map,
+    `sorted_hash` is the direct map."""
+    c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak, bitmap,
+                            use_map, use_bitmap)
+    c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak, bitmap,
+                            use_map, use_bitmap)
+    return _vote_core(peak_filter, c1, c2, peak_contig, accept,
+                      min_base_num, n_slots)
 
 
 def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
