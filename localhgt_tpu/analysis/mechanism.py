@@ -104,12 +104,17 @@ def classify_events(events, contigs, tandem: dict | None = None,
     """
     tandem = tandem or {}
     tei = tei or {}
-    # batched device scoring of all del-junction flank pairs
+    # batched device scoring of all del-junction flank pairs; a reverse
+    # event attaches the donor segment on the '-' strand at both junctions,
+    # so its flanks are reverse-complemented like the reference does per-end
+    # (compare_seq_homo, mechanism.py:239-246, strands threaded from the
+    # breakpoints' SA-tag strand at mechanism.py:511-513)
     f_codes, t_codes, idx = [], [], []
     for i, ev in enumerate(events):
+        strand = "-" if str(ev.reverse_flag).lower() in ("true", "1") else "+"
         s, e = sorted((ev.delete_start, ev.delete_end))
-        f = mh.flank_codes(contigs, ev.donor, s, "+", cutoff)
-        t = mh.flank_codes(contigs, ev.donor, e, "+", cutoff)
+        f = mh.flank_codes(contigs, ev.donor, s, strand, cutoff)
+        t = mh.flank_codes(contigs, ev.donor, e, strand, cutoff)
         if f is None or t is None:
             continue
         f_codes.append(f)

@@ -71,8 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--meta", help="UHGG genomes metadata TSV (taxonomy)")
     a.add_argument("--group1", default="CRC")
     a.add_argument("--group2", default="control")
-    a.add_argument("--level", default="genome",
-                   help="taxonomy level for network edges")
+    a.add_argument("--level", default="all",
+                   help="taxonomy level for network edges (phylum..species, "
+                   "or 'all' to sweep levels 1-6)")
     a.add_argument("--n-random", type=int, default=10000,
                    help="random junction pairs for the microhomology null")
     a.add_argument("--tandem", help="tandem-repeat interval file (mechanism)")
@@ -184,8 +185,18 @@ def run_analyze(a) -> int:
         return 0
     if a.what == "network":
         from localhgt_tpu.analysis import network
+        from localhgt_tpu.analysis.taxonomy import LEVELS
 
-        emit(network.compare_groups(samples, tax, a.group1, a.group2))
+        if a.level == "all":
+            levels = range(1, 7)
+        else:
+            if a.level not in LEVELS:
+                print(f"unknown taxonomy level {a.level!r}; choose from "
+                      f"{LEVELS[1:7]} or 'all'", file=sys.stderr)
+                return 2
+            levels = [LEVELS.index(a.level)]
+        emit(network.compare_groups(samples, tax, a.group1, a.group2,
+                                    levels=levels))
         return 0
     if a.what == "classifier":
         from localhgt_tpu.analysis import classifier

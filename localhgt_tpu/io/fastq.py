@@ -157,8 +157,12 @@ def accept_mask(start_ordinal: int, n: int, ratio: float, seed: int,
         arr = _glibc_cache[seed]
         idx = (np.arange(start_ordinal, start_ordinal + n) % _MAX_RANDOM_NUM)
         return arr[idx] < ratio * 100.0
+    # splitmix64: wrapping 64-bit arithmetic is intended; pre-mask the seed
+    # offset in Python ints so no numpy *scalar* overflow warning can fire
+    # (array ops wrap silently, scalar ops warn)
+    seed_off = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
     x = (np.arange(start_ordinal, start_ordinal + n, dtype=np.uint64)
-         + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+         + np.uint64(seed_off))
     x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
     x = x ^ (x >> np.uint64(31))

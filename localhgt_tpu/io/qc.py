@@ -94,9 +94,14 @@ def _overlap_insert(codes1, len1, codes2, len2, max_len: int):
 
 def _read_batches(path1, path2, batch: int = 1 << 14):
     """Yield aligned raw record batches from both files:
-    (name, seq_bytes, qual_bytes) column arrays."""
+    lists of (name, seq, plus, qual) byte tuples, strictly in record order.
+
+    Records are buffered across blob boundaries so R1/R2 stay paired even
+    when the two files' record byte sizes differ (different name or read
+    lengths would otherwise desynchronize blob-aligned batches)."""
 
     def reader(path):
+        """Yield lists of complete records per 64MB blob."""
         carry = b""
         with open(path, "rb") as f:
             while True:
@@ -109,36 +114,46 @@ def _read_batches(path1, path2, batch: int = 1 << 14):
                 nrec = len(nl) // 4
                 if nrec == 0:
                     if not blob:
-                        return
+                        return  # trailing partial record dropped
                     carry = data
                     continue
                 consumed = int(nl[nrec * 4 - 1]) + 1
-                carry = data[consumed:] if consumed < len(data) else b""
-                if not blob and consumed < len(data):
-                    carry = b""
+                carry = data[consumed:] if blob and consumed < len(data) else b""
                 starts = np.concatenate([[0], nl[:-1] + 1])
-                for lo in range(0, nrec, batch):
-                    hi = min(lo + batch, nrec)
-                    recs = []
-                    for r in range(lo, hi):
-                        b0 = r * 4
-                        name = bytes(buf[starts[b0]: nl[b0]])
-                        seq = bytes(buf[starts[b0 + 1]: nl[b0 + 1]])
-                        plus = bytes(buf[starts[b0 + 2]: nl[b0 + 2]])
-                        qual = bytes(buf[starts[b0 + 3]: nl[b0 + 3]])
-                        recs.append((name, seq, plus, qual))
-                    yield recs
+                recs = []
+                for r in range(nrec):
+                    b0 = r * 4
+                    recs.append((
+                        bytes(buf[starts[b0]: nl[b0]]),
+                        bytes(buf[starts[b0 + 1]: nl[b0 + 1]]),
+                        bytes(buf[starts[b0 + 2]: nl[b0 + 2]]),
+                        bytes(buf[starts[b0 + 3]: nl[b0 + 3]]),
+                    ))
+                yield recs
                 if not blob:
                     return
 
     it1, it2 = reader(path1), reader(path2)
+    b1, b2 = [], []
+    done1 = done2 = False
     while True:
-        r1 = next(it1, None)
-        r2 = next(it2, None)
-        if r1 is None or r2 is None:
-            return
-        n = min(len(r1), len(r2))
-        yield r1[:n], r2[:n]
+        while len(b1) < batch and not done1:
+            chunk = next(it1, None)
+            if chunk is None:
+                done1 = True
+            else:
+                b1.extend(chunk)
+        while len(b2) < batch and not done2:
+            chunk = next(it2, None)
+            if chunk is None:
+                done2 = True
+            else:
+                b2.extend(chunk)
+        n = min(len(b1), len(b2), batch)
+        if n == 0:
+            return  # either file exhausted; any unpaired tail is dropped
+        yield b1[:n], b2[:n]
+        b1, b2 = b1[n:], b2[n:]
 
 
 def _codes_matrix(seqs, width):

@@ -199,8 +199,17 @@ def clip_tables(tables, cap: int = 3):
 
 def clip_every_batches(k: int, cap: int = 3) -> int:
     """How many un-clipped batches the table dtype can absorb: int8 has
-    127/cap headroom; a packed 4-bit field only (15-cap)/cap."""
+    127/cap headroom; a packed 4-bit field only (15-cap)/cap.
+
+    Packed tables require cap <= 7: a clipped field holds <= cap and one
+    batch adds <= cap more, so cap >= 8 could push a field past 15 and carry
+    into the neighboring hash's nibble even with clipping every batch."""
     if k > TABLE_BITS:
+        if cap > (PACKED_FIELD_MAX - 1) // 2:
+            raise ValueError(
+                f"least_depth={cap} > 7 overflows the 4-bit packed count "
+                f"fields used for k={k} > {TABLE_BITS}; use k <= "
+                f"{TABLE_BITS} or a smaller least_depth")
         return max(1, (PACKED_FIELD_MAX - cap) // max(cap, 1))
     return max(1, 120 // max(cap, 1) - 2)
 

@@ -289,13 +289,18 @@ def split_vote_batch(
 def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
                        use_map: bool, use_bitmap: bool):
     """Peak-candidate lookup from canonical hashes — direct map (k <= 30),
-    bitmap-prefiltered binary search, or plain binary search."""
+    bitmap-prefiltered binary search, or plain binary search.
+
+    Hash 0 is excluded on every path (the degenerate all-zeros k-mer code;
+    the direct-map build drops it, so the search paths must too for the two
+    lookup modes to agree — read_index cpp:936-941 treats it as unusable)."""
     import jax.numpy as jnp
 
     if use_map:
         pk = sorted_hash[h.astype(jnp.int32)]
         return jnp.where(v[None, :, :] & (h != 0), pk, 0)
     K = sorted_hash.shape[0]
+    ok0 = v[None, :, :] & (h != 0)
     if use_bitmap and K:
         byte = bitmap[(h >> jnp.uint32(3)).astype(jnp.int32)]
         maybe = ((byte >> (h & jnp.uint32(7)).astype(jnp.uint8))
@@ -303,11 +308,11 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
         hq = jnp.where(maybe, h, sorted_hash[0])
         idx = jnp.clip(jnp.searchsorted(sorted_hash, hq), 0, K - 1)
         found = (sorted_hash[idx] == hq) & maybe
-        return jnp.where(found & v[None, :, :], sorted_peak[idx], 0)
+        return jnp.where(found & ok0, sorted_peak[idx], 0)
     idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))
     found = (sorted_hash[idx] == h) if K else jnp.zeros_like(h, bool)
     pk = sorted_peak[idx] if K else jnp.zeros(h.shape, jnp.int32)
-    return jnp.where(found & v[None, :, :], pk, 0)
+    return jnp.where(found & ok0, pk, 0)
 
 
 @partial(jax.jit,

@@ -115,3 +115,49 @@ def test_refine_fastq_end_to_end(tmp_path):
     assert lines[0] == "@p0/1"
     assert len(lines[1]) == 80 and len(lines[3]) == 80
     assert lines[4] == "@p1/1" and len(lines[5]) == 100
+
+
+def test_read_batches_stay_paired_across_blob_boundaries(tmp_path, monkeypatch):
+    """R1/R2 with different record byte sizes must not desynchronize when
+    blob boundaries split the two files at different record counts
+    (regression: blob-aligned batches zipped with min-length truncation)."""
+    n = 50
+    fq1, fq2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    with open(fq1, "w") as f1, open(fq2, "w") as f2:
+        for i in range(n):
+            # R1 records are much longer than R2 records
+            f1.write(f"@read{i}/1\n{'A' * 90}\n+\n{'I' * 90}\n")
+            f2.write(f"@read{i}/2\n{'C' * 30}\n+\n{'I' * 30}\n")
+
+    # shrink the blob size so boundaries land mid-file at different record
+    # counts for the two files
+    import builtins
+
+    real_open = builtins.open
+
+    class SmallBlobFile:
+        def __init__(self, f):
+            self._f = f
+
+        def read(self, size=-1):
+            return self._f.read(min(size, 256) if size > 0 else size)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            self._f.close()
+
+    def tiny_open(path, mode="r", *a, **kw):
+        f = real_open(path, mode, *a, **kw)
+        if "b" in mode and str(path).endswith(".fq"):
+            return SmallBlobFile(f)
+        return f
+
+    monkeypatch.setattr(builtins, "open", tiny_open)
+    batches = list(qc._read_batches(str(fq1), str(fq2), batch=7))
+    got = [(r1[0], r2[0]) for b1, b2 in batches for r1, r2 in zip(b1, b2)]
+    assert len(got) == n
+    for i, (n1, n2) in enumerate(got):
+        assert n1 == f"@read{i}/1".encode()
+        assert n2 == f"@read{i}/2".encode()
