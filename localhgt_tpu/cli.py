@@ -99,6 +99,20 @@ def config_from_args(a) -> Config:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        return _dispatch(args)
+    except Exception as e:
+        from localhgt_tpu.utils.validate import InputError
+
+        if isinstance(e, InputError):
+            # friendly input errors, no traceback (check_input,
+            # infer_HGT_breakpoint.py:123-166)
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        raise
+
+
+def _dispatch(args) -> int:
     if args.command == "bkp":
         from localhgt_tpu.pipeline.bkp import detect_breakpoint
 

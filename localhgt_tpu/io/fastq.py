@@ -48,12 +48,13 @@ def _gather_lines(buf, starts, ends, lmax):
 
 def iter_fastq_batches(
     path: str, batch_reads: int = 1 << 18, max_len: int = 512,
-    use_native: bool | None = None,
+    use_native: bool | None = None, threads: int = 4,
 ) -> Iterator[ReadBatch]:
     """Stream a FASTQ file as padded code batches.
 
     Uses the C++ block reader (localhgt_tpu.io.native) when available unless
-    use_native=False; falls back to chunked numpy parsing.
+    use_native=False; falls back to chunked numpy parsing. `threads` is the
+    native parser's worker count (the -t flag, localhgt.py:57).
     """
     if use_native is None:
         use_native = os.environ.get("LHT_NATIVE_IO", "1") != "0"
@@ -62,7 +63,7 @@ def iter_fastq_batches(
 
         if native.available():
             for codes, lengths, start in native.iter_fastq_blocks(
-                path, max_reads=batch_reads, width=max_len
+                path, max_reads=batch_reads, width=max_len, threads=threads
             ):
                 # trim the uniform width down to this block's longest read
                 w = int(lengths.max()) if len(lengths) else 1

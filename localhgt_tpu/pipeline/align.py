@@ -171,6 +171,10 @@ class AlnTable:
     qstart2: np.ndarray
     qend2: np.ndarray
     score2: np.ndarray
+    # bwa XA equivalent: an overlapping alternative placement scored within
+    # 80% of the primary exists (bwa mem's XA drop ratio; consumed by
+    # get_raw_bkp.py:55-77 when -a 0 drops XA-tagged reads)
+    has_alt: np.ndarray = field(default_factory=lambda: np.zeros(0, bool))
 
     def __len__(self):
         return len(self.read_id)
@@ -182,7 +186,7 @@ class AlnTable:
         return cls(z64, z8, z32.copy(), z64.copy(), z64.copy(), z8.copy(),
                    z32.copy(), z32.copy(), z32.copy(), z16, z32.copy(),
                    z32.copy(), z64.copy(), z64.copy(), z8.copy(),
-                   z32.copy(), z32.copy(), z32.copy())
+                   z32.copy(), z32.copy(), z32.copy(), np.zeros(0, bool))
 
     @classmethod
     def concat(cls, tables):
@@ -274,6 +278,7 @@ def align_batch(
     read_ids: np.ndarray,
     mate: int,
     cfg: AlignConfig,
+    threads: int = 8,
 ) -> AlnTable:
     """Align one batch of single-end reads; returns per-read records
     (unmapped reads included with contig=-1 so pairing stays positional)."""
@@ -292,7 +297,7 @@ def align_batch(
     use_native = os.environ.get("LHT_NATIVE_IO", "1") != "0"
     hits = native.seed_hits(
         codes, lengths, index.sorted_hash, index.sorted_pos,
-        cfg.seed_len, cfg.seed_stride, 32,
+        cfg.seed_len, cfg.seed_stride, 32, threads=threads,
     ) if use_native else None
     cand = []
     if hits is not None:
@@ -387,10 +392,26 @@ def align_batch(
         rs[b_idx, c_idx] = out["rstart"][:n_sel] + ws
         re_[b_idx, c_idx] = out["rend"][:n_sel] + ws
 
+    # --- per-candidate segment validity ---
+    # A candidate whose extension spans the N separator between two subref
+    # segments is a window artifact, not an alignment: mask it out BEFORE
+    # primary/split selection so the next-best candidate (possibly in the
+    # other flanking segment) is still considered — bwa places each local
+    # alignment within one reference sequence (VERDICT r1 weak #9).
+    if len(subref.seg_off):
+        seg_s = np.searchsorted(subref.seg_off, rs.reshape(-1), "right") - 1
+        seg_e = np.searchsorted(subref.seg_off, re_.reshape(-1), "right") - 1
+        same_seg_c = (seg_s == seg_e).reshape(B, C)
+    else:
+        same_seg_c = np.zeros((B, C), bool)
+    valid_c = ok_c & same_seg_c
+
     # --- primary selection ---
-    prim = np.argmax(score, axis=1)
+    prim = np.argmax(np.where(valid_c, score, -1), axis=1)
     p_score = score[rows[:, 0], prim]
-    mapped = p_score >= (cfg.match * cfg.seed_len)  # needs at least a seed's worth
+    p_valid = valid_c[rows[:, 0], prim]
+    # needs at least a seed's worth of matches
+    mapped = p_valid & (p_score >= cfg.match * cfg.seed_len)
 
     def pick(a):
         return a[rows[:, 0], prim]
@@ -417,12 +438,19 @@ def align_batch(
     is_prim = np.zeros_like(score, bool)
     is_prim[rows[:, 0], prim] = True
     # competitor: overlapping placement of the same read part
-    competitor = (~is_prim) & ok_c & (overlap > span // 2)
+    competitor = (~is_prim) & valid_c & (overlap > span // 2)
     comp_score = np.where(competitor, score, 0).max(axis=1)
     mapq = np.clip(6 * (p_score - comp_score), 0, 60).astype(np.int16)
-    # split: disjoint-enough secondary with decent score
+    # bwa XA equivalent: a competitor within the 80% score drop ratio would
+    # be listed in the XA tag (get_raw_bkp.py:55-77 drops such reads at -a 0)
+    has_alt = (comp_score > 0) & (
+        comp_score.astype(np.int64) * 10 >= p_score.astype(np.int64) * 8
+    )
+    # split: disjoint-enough secondary with decent score (the reference's
+    # split-read extractor keeps primary + one SA alignment, i.e. <= 2
+    # parts per read — extractSplitReads_BwaMem.py:9-46)
     splitable = (
-        (~is_prim) & ok_c
+        (~is_prim) & valid_c
         & (np.minimum(nonov_self, nonov_prim) >= cfg.min_split_len)
         & (score >= cfg.match * cfg.seed_len)
     )
@@ -433,13 +461,10 @@ def align_batch(
         return a[rows[:, 0], split_idx]
 
     # --- lift to original coordinates ---
-    contig, orig_pos, seg = subref.lift(p_rs)
-    _, orig_end, seg_e = subref.lift(p_re)
-    same_seg = seg == seg_e
-    mapped &= same_seg
-    contig2, orig_pos2, seg2 = subref.lift(pick2(rs))
-    _, orig_end2, seg2e = subref.lift(pick2(re_))
-    has_split &= seg2 == seg2e
+    contig, orig_pos, _ = subref.lift(p_rs)
+    _, orig_end, _ = subref.lift(p_re)
+    contig2, orig_pos2, _ = subref.lift(pick2(rs))
+    _, orig_end2, _ = subref.lift(pick2(re_))
 
     n = B
     return AlnTable(
@@ -461,4 +486,5 @@ def align_batch(
         qstart2=pick2(qs).astype(np.int32),
         qend2=pick2(qe).astype(np.int32),
         score2=np.where(has_split, pick2(score), 0).astype(np.int32),
+        has_alt=mapped & has_alt,
     )

@@ -45,8 +45,10 @@ def detect_breakpoint(
     refine_fq: bool = False,
 ) -> str:
     """Run breakpoint detection; returns the path of <sample>.acc.csv."""
+    from localhgt_tpu.utils import validate
+
     cfg = cfg or Config()
-    os.makedirs(outdir, exist_ok=True)
+    validate.check_bkp_inputs(ref_path, fq1, fq2, outdir)
     t0 = time.time()
     logging.basicConfig(
         level=logging.INFO,
@@ -100,7 +102,8 @@ def detect_breakpoint(
     # through the device tunnel (~0.2 s RTT) dominates small batches
     batch_reads = 1 << 16
     width = None
-    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
+    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
+                                       threads=cfg.threads):
         if width is None:
             width = max(64, -(-max(b1.codes.shape[1], b2.codes.shape[1]) // 64) * 64)
         ids = np.arange(b1.start_ordinal, b1.start_ordinal + b1.n)
@@ -120,7 +123,8 @@ def detect_breakpoint(
                 )
             else:
                 full_ids = ids
-            t = align.align_batch(subref, index, c, ln, full_ids, mate, cfg.align)
+            t = align.align_batch(subref, index, c, ln, full_ids, mate,
+                                  cfg.align, threads=cfg.threads)
             t = _crop_table(t, b.n)
             tabs.append(t)
             codes_all.append(c[: b.n])

@@ -193,7 +193,10 @@ class EventMatcher:
 
 def detect_event(ref_path: str, result_dir: str, out_csv: str,
                  cfg: EventConfig | None = None):
+    from localhgt_tpu.utils import validate
+
     cfg = cfg or EventConfig()
+    validate.check_event_inputs(ref_path, result_dir)
     m = EventMatcher(result_dir, ref_path, cfg)
     rows = []
     for sid in m.cohort:

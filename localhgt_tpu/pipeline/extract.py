@@ -91,7 +91,8 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
     cache_bytes = 0
     for path in (fq1, fq2):
         t0 = _time.perf_counter()
-        for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads):
+        for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads,
+                                          threads=cfg.threads):
             if width is None:
                 width = _batch_width(b.codes.shape[1])
             acc = fastq.accept_mask(b.start_ordinal, b.n, ratio,
@@ -170,6 +171,7 @@ def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
     chunk = 1 << max(12, (longest + 2 * halo - 1).bit_length())
     chunk = min(chunk, SCAN_CHUNK)
     per_contig = []
+    total_peaks = 0
     for cid in range(1, contigs.n + 1):
         codes = contigs.contig_codes(cid)
         L = len(codes)
@@ -196,7 +198,20 @@ def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
                 break
         ivs = scan.good_intervals(good, cfg.scan.window, pad=cfg.scan.good_pad)
         pos, groups = scan.peaks_in_intervals(peak, ivs, cfg.scan.merge_close_peak)
+        # --max_peak capacity (Peaks::init cpp:229-237): the reference only
+        # warns and overflows its fixed arrays past this; we truncate, which
+        # bounds host memory on pathologically diverged samples
+        if total_peaks + len(pos) > cfg.scan.max_peak:
+            keep = max(0, cfg.scan.max_peak - total_peaks)
+            pos, groups = pos[:keep], groups[:keep]
+            log.warning(
+                "Too many peaks (>%d)! Reduce the sampling size, or appoint "
+                "a larger max_peak_num (see --max_peak). Truncating.",
+                cfg.scan.max_peak)
+        total_peaks += len(pos)
         per_contig.append((cid, pos, groups))
+        if total_peaks >= cfg.scan.max_peak:
+            break
     return per_contig
 
 
@@ -233,7 +248,8 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
         return np.asarray(peak_filter)
     masks_j = jnp.asarray(masks)
     width = None
-    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads):
+    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
+                                       threads=cfg.threads):
         if width is None:
             width = _batch_width(max(b1.codes.shape[1], b2.codes.shape[1]))
         acc = fastq.accept_mask(b1.start_ordinal, b1.n, ratio,

@@ -46,6 +46,10 @@ class PeakSet:
     sorted_hash: np.ndarray  # uint32 [K] peak k-mer hashes (sorted)
     sorted_peak: np.ndarray  # int32 [K] peak id per hash
     direct_map: object = None  # device int32 [2^k] hash -> peak id, or None
+    # two-choice bucket hash table (keys uint32 [Bk, S], vals int32 [Bk, S])
+    # for k > 30 where the 2^k direct map exceeds HBM: 2 contiguous 32-byte
+    # row gathers per query vs log2(K) dependent binary-search probes
+    bucket: tuple | None = None
 
     @property
     def n(self) -> int:
@@ -126,6 +130,58 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
 
 
 MAX_DIRECT_MAP_BYTES = 4 << 30  # int32 [2^k] fits beside the count tables
+
+# --- two-choice bucketized hash table (the k > 30 vote-lookup path) ---
+BUCKET_SLOTS = 8                # 8 x uint32 keys = one 32-byte HBM line
+_MIX1 = 0x9E3779B1              # Fibonacci hashing multipliers (odd)
+_MIX2 = 0x85EBCA6B              # murmur3 finalizer constant (odd)
+
+
+def _mix_np(h: np.ndarray, const: int, lg: int) -> np.ndarray:
+    """Top `lg` bits of h * const mod 2^32 (Fibonacci hashing)."""
+    prod = (h.astype(np.uint64) * np.uint64(const)) & np.uint64(0xFFFFFFFF)
+    return (prod >> np.uint64(32 - lg)).astype(np.int64)
+
+
+def build_bucket_table(hs: np.ndarray, ps: np.ndarray,
+                       slots: int = BUCKET_SLOTS):
+    """Host build of the two-choice bucket table for K (hash, peak) pairs.
+
+    Each key lives in bucket mix1(h) or mix2(h); load factor <= 0.5 makes
+    two-choice placement succeed w.h.p., and the table doubles + retries on
+    the (vanishing) failure case. Returns (keys uint32 [Bk, slots],
+    vals int32 [Bk, slots], lg_bk). Empty slots hold 0xFFFFFFFF, which no
+    valid canonical hash query reaches (it is the invalid-kmer sentinel)."""
+    K = len(hs)
+    lg = max(6, int(np.ceil(np.log2(max(K, 1) * 2 / slots + 1))))
+    hs = hs.astype(np.uint32)
+    ps = ps.astype(np.int32)
+    while True:
+        Bk = 1 << lg
+        keys = np.full((Bk, slots), 0xFFFFFFFF, np.uint32)
+        vals = np.zeros((Bk, slots), np.int32)
+        fill = np.zeros(Bk, np.int64)
+        remaining = np.arange(K, dtype=np.int64)
+        for const in (_MIX1, _MIX2):
+            if len(remaining) == 0:
+                break
+            b = _mix_np(hs[remaining], const, lg)
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            pos_in = np.arange(len(bs), dtype=np.int64)
+            run_start = np.maximum.accumulate(
+                np.where(np.r_[True, bs[1:] != bs[:-1]], pos_in, 0))
+            rank = pos_in - run_start + fill[bs]
+            place = rank < slots
+            rows, cols = bs[place], rank[place]
+            src = remaining[order[place]]
+            keys[rows, cols] = hs[src]
+            vals[rows, cols] = ps[src]
+            np.add.at(fill, rows, 1)
+            remaining = remaining[order[~place]]
+        if len(remaining) == 0:
+            return keys, vals, lg
+        lg += 1  # overflow: double and rebuild (load halves; terminates)
 
 
 def _flatten_members(per_contig, contigs, k):
@@ -252,13 +308,14 @@ def build_peak_bitmap(sorted_hash, k: int):
 
 @partial(jax.jit,
          static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_bitmap"))
+                          "use_bitmap", "use_bucket"))
 def split_vote_batch(
     peak_filter,
     codes1, len1, codes2, len2, accept,
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
     bitmap=None, use_bitmap: bool = False,
+    bucket_keys=None, bucket_vals=None, use_bucket: bool = False,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -278,7 +335,8 @@ def split_vote_batch(
         L = codes.shape[-1]
         inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
         return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
-                                  bitmap, use_map, use_bitmap)
+                                  bitmap, use_map, use_bitmap,
+                                  bucket_keys, bucket_vals, use_bucket)
 
     pk1 = candidates(codes1, len1)
     pk2 = candidates(codes2, len2)
@@ -287,9 +345,12 @@ def split_vote_batch(
 
 
 def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
-                       use_map: bool, use_bitmap: bool):
+                       use_map: bool, use_bitmap: bool,
+                       bucket_keys=None, bucket_vals=None,
+                       use_bucket: bool = False):
     """Peak-candidate lookup from canonical hashes — direct map (k <= 30),
-    bitmap-prefiltered binary search, or plain binary search.
+    two-choice bucket table (k > 30 default), bitmap-prefiltered binary
+    search, or plain binary search.
 
     Hash 0 is excluded on every path (the degenerate all-zeros k-mer code;
     the direct-map build drops it, so the search paths must too for the two
@@ -301,6 +362,23 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
         return jnp.where(v[None, :, :] & (h != 0), pk, 0)
     K = sorted_hash.shape[0]
     ok0 = v[None, :, :] & (h != 0)
+    if use_bucket and bucket_keys is not None:
+        lg = int(bucket_keys.shape[0]).bit_length() - 1
+        sh = jnp.uint32(32 - lg)
+        pk = jnp.zeros(h.shape, jnp.int32)
+        # per-coder rows keep the [.., S]-widened gather temporaries small
+        for c in range(h.shape[0]):
+            hc = h[c]
+            found = jnp.zeros(hc.shape, jnp.int32)
+            for const in (_MIX1, _MIX2):
+                b = ((hc * jnp.uint32(const)) >> sh).astype(jnp.int32)
+                kk = bucket_keys[b]            # [.., S] one 32B line each
+                vv = bucket_vals[b]
+                m = kk == hc[..., None]
+                found = jnp.maximum(found, jnp.max(
+                    jnp.where(m, vv, 0), axis=-1))
+            pk = pk.at[c].set(found)
+        return jnp.where(ok0, pk, 0)
     if use_bitmap and K:
         byte = bitmap[(h >> jnp.uint32(3)).astype(jnp.int32)]
         maybe = ((byte >> (h & jnp.uint32(7)).astype(jnp.uint8))
@@ -317,12 +395,13 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
 
 @partial(jax.jit,
          static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_bitmap"))
+                          "use_bitmap", "use_bucket"))
 def split_vote_from_hashes(
     peak_filter, h1, v1, h2, v2, accept, sorted_hash, sorted_peak,
     peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = True,
     bitmap=None, use_bitmap: bool = False,
+    bucket_keys=None, bucket_vals=None, use_bucket: bool = False,
 ):
     """split_vote_batch fed with cached canonical hashes from the counting
     pass (stage A) — skips the second FASTQ read, host->device transfer and
@@ -330,9 +409,11 @@ def split_vote_from_hashes(
     window mask, before the down-sampling accept gate). With use_map,
     `sorted_hash` is the direct map."""
     c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak, bitmap,
-                            use_map, use_bitmap)
+                            use_map, use_bitmap,
+                            bucket_keys, bucket_vals, use_bucket)
     c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak, bitmap,
-                            use_map, use_bitmap)
+                            use_map, use_bitmap,
+                            bucket_keys, bucket_vals, use_bucket)
     return _vote_core(peak_filter, c1, c2, peak_contig, accept,
                       min_base_num, n_slots)
 

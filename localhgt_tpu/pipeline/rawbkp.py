@@ -120,6 +120,10 @@ def call_raw_bkps(a1: AlnTable, a2: AlnTable, ins: InsertStats,
     mapped = (a1.contig > 0) & (a2.contig > 0)
     cross = mapped & (a1.contig != a2.contig)
     q = (a1.mapq >= cfg.mapq_min) & (a2.mapq >= cfg.mapq_min)
+    if not cfg.keep_xa and len(a1.has_alt) == len(q):
+        # -a 0: drop pairs where either end has an XA-grade alternative
+        # placement (calCrossReads, get_raw_bkp.py:55-77)
+        q &= ~a1.has_alt & ~a2.has_alt
     sel = np.flatnonzero(cross & q)
     if len(sel) == 0:
         return []

@@ -9,11 +9,23 @@ Truth is written in the same `<sample>.true.sv.txt` format
 (simulation.py:201-270: recipient, insert_locus, donor, seg_start, seg_end,
 reverse_flag) so the evaluator is interchangeable.
 
-Reads are generated with a simple uniform-coverage Illumina-like model
+Reads are generated with a vectorized uniform-coverage Illumina-like model
 (art_illumina is not available in this environment; simulation.py:280-306
-shells out to it). Base quality is constant; a per-base error rate is applied.
-Genomes can be synthetic random sequences (for unit fixtures) or loaded from a
-FASTA.
+shells out to it). Base qualities follow an HiSeq-style per-cycle profile
+(high at the 5' end, decaying toward the 3' end, per-base jitter) and the
+substitution-error probability at each base is derived from its emitted
+quality, scaled so the mean error rate equals `seq_error` — i.e. errors and
+quality strings are consistent, like art's empirical profiles. Genomes can
+be synthetic random sequences (for unit fixtures) or loaded from a FASTA.
+
+Ordering note (truth-coordinate correctness): HGTs are implanted FIRST and
+SNPs/indels applied to the whole edited genomes AFTERWARD — exactly the
+reference harness's ordering (random_HGT implants at simulation.py:209-258,
+then add_snp/add_indel at :260-265, truth written pre-mutation at :255-256).
+Truth coordinates live in the UN-mutated reference space and the pipeline
+aligns reads against the un-mutated reference FASTA, so sample-side indels
+cannot shift them: an indel between a read's start and the junction costs
+the aligner a 1-2 bp gap, not a coordinate change.
 """
 
 from __future__ import annotations
@@ -142,50 +154,85 @@ def mutate(seq: str, pa: SimParams, rng) -> str:
     return arr.tobytes().decode()
 
 
+_COMP = np.zeros(256, np.uint8)
+for _a, _b in zip(b"ACGTacgtN", b"TGCAtgcaN"):
+    _COMP[_a] = _b
+_BASE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def _cycle_qualities(n: int, read_len: int, rng) -> np.ndarray:
+    """HiSeq-style per-cycle quality profile: ~Q38 at the 5' end decaying
+    quadratically toward ~Q30 at the 3' end, with per-base jitter — the
+    shape of art_illumina's HS25 empirical profile (simulation.py:280-306
+    uses `art_illumina -ss HS25`)."""
+    cyc = 38.0 - 8.0 * (np.arange(read_len) / max(read_len - 1, 1)) ** 2
+    q = cyc[None, :] + rng.normal(0.0, 2.0, (n, read_len))
+    return np.clip(q, 2, 40).astype(np.uint8)
+
+
+def _quality_error_mask(quals: np.ndarray, mean_error: float, rng):
+    """Per-base substitution mask whose probability follows the emitted
+    qualities (p = 10^(-q/10)), rescaled so the mean equals `mean_error` —
+    errors and quality strings stay mutually consistent."""
+    p = 10.0 ** (-quals.astype(np.float64) / 10.0)
+    scale = mean_error / max(p.mean(), 1e-12)
+    return rng.random(quals.shape) < p * scale
+
+
 def synthesize_reads(genomes: dict[str, str], pa: SimParams, rng):
-    """Uniform-coverage paired-end reads. Returns (reads1, reads2) as lists of
-    (name, seq) with mate1/mate2 orientation FR like Illumina."""
+    """Uniform-coverage paired-end reads, fully vectorized per contig.
+
+    Returns (reads1, reads2) as lists of (name, seq, qual) with mate1/mate2
+    orientation FR like Illumina."""
     r1, r2 = [], []
-    lut = "ACGT"
+    L = pa.read_len
     for chrom, seq in genomes.items():
-        n_pairs = int(len(seq) * pa.depth / (2 * pa.read_len))
-        if n_pairs == 0 or len(seq) < pa.mean_frag + 20:
+        n = int(len(seq) * pa.depth / (2 * L))
+        if n == 0 or len(seq) < pa.mean_frag + 20:
             continue
-        frags = rng.normal(pa.mean_frag, pa.frag_sd, n_pairs).astype(int)
-        np.clip(frags, pa.read_len + 2, min(len(seq) - 1, 2 * pa.mean_frag), out=frags)
-        starts = rng.integers(0, len(seq) - frags, n_pairs)
-        for i in range(n_pairs):
-            f = int(frags[i])
-            s = int(starts[i])
-            frag = seq[s : s + f]
-            fwd = frag[: pa.read_len]
-            rev = revcomp(frag)[: pa.read_len]
-            if rng.random() < 0.5:
-                m1, m2 = fwd, rev
-            else:
-                m1, m2 = rev, fwd
-            m1 = _apply_errors(m1, pa, rng, lut)
-            m2 = _apply_errors(m2, pa, rng, lut)
-            name = f"{chrom}-{s}-{i}"
-            r1.append((name, m1))
-            r2.append((name, m2))
+        arr = np.frombuffer(seq.encode(), dtype=np.uint8)
+        frags = rng.normal(pa.mean_frag, pa.frag_sd, n).astype(int)
+        np.clip(frags, L + 2, min(len(seq) - 1, 2 * pa.mean_frag), out=frags)
+        starts = rng.integers(0, len(seq) - frags, n)
+        j = np.arange(L)
+        fwd = arr[starts[:, None] + j[None, :]]
+        ends = starts + frags
+        rev = _COMP[arr[ends[:, None] - 1 - j[None, :]]]
+        swap = rng.random(n) < 0.5
+        m1 = np.where(swap[:, None], rev, fwd)
+        m2 = np.where(swap[:, None], fwd, rev)
+        if pa.seq_error > 0:
+            q1 = _cycle_qualities(n, L, rng)
+            q2 = _cycle_qualities(n, L, rng)
+            e1 = _quality_error_mask(q1, pa.seq_error, rng)
+            e2 = _quality_error_mask(q2, pa.seq_error, rng)
+            inv = np.zeros(256, np.uint8)
+            inv[_BASE_LUT] = np.arange(4)
+            # substitute with a *different* base so the realized error rate
+            # equals the target
+            m1 = np.where(e1, _BASE_LUT[(inv[m1] + rng.integers(1, 4, (n, L))) % 4], m1)
+            m2 = np.where(e2, _BASE_LUT[(inv[m2] + rng.integers(1, 4, (n, L))) % 4], m2)
+        else:
+            q1 = q2 = np.full((n, L), 40, np.uint8)
+        qa1 = (q1 + 33).astype(np.uint8)
+        qa2 = (q2 + 33).astype(np.uint8)
+        for i in range(n):
+            name = f"{chrom}-{starts[i]}-{i}"
+            r1.append((name, m1[i].tobytes().decode(), qa1[i].tobytes().decode()))
+            r2.append((name, m2[i].tobytes().decode(), qa2[i].tobytes().decode()))
     return r1, r2
 
 
-def _apply_errors(seq: str, pa: SimParams, rng, lut: str) -> str:
-    if pa.seq_error <= 0:
-        return seq
-    arr = list(seq)
-    n_err = rng.binomial(len(arr), pa.seq_error)
-    for p in rng.choice(len(arr), n_err, replace=False):
-        arr[p] = lut[int(rng.integers(0, 4))]
-    return "".join(arr)
-
-
 def write_fastq(path: str, reads, qual_char: str = "I"):
+    """Rows are (name, seq) — constant quality — or (name, seq, qual)."""
     with open(path, "w") as f:
-        for name, seq in reads:
-            f.write(f"@{name}\n{seq}\n+\n{qual_char * len(seq)}\n")
+        for rec in reads:
+            if len(rec) == 2:
+                name, seq = rec
+                qual = qual_char * len(seq)
+            else:
+                name, seq, qual = rec
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
 
 
 def write_truth(path: str, truth: list[TruthEvent]):
