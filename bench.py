@@ -1,16 +1,20 @@
 #!/usr/bin/env python3
 """Benchmark: end-to-end HGT breakpoint detection throughput on one chip.
 
-Regenerates a species20-style fixture (the reference's bundled smoke data is
-absent — SURVEY.md section 4), runs the full `bkp` pipeline on the real
-device, validates accuracy vs truth at the +-50bp tolerance, and prints ONE
-JSON line:
+Default workload (LHT_BENCH_SCALE=big): 100 genomes / ~100 Mbp reference /
+~1.7M read pairs at the reference's default k=32 — a size where one-time
+costs (compile, cache warmup, tunnel buffer reclamation) are <10% of wall,
+approximating the reference's headline workload shape (a human-gut sample
+vs a large reference, README.md:6). LHT_BENCH_SCALE=species20 keeps the
+small smoke fixture for quick iteration.
+
+Prints ONE JSON line:
 
     {"metric": "bkp_pairs_per_sec", "value": N, "unit": "pairs/s",
-     "vs_baseline": R, ...}
+     "vs_baseline": R, "stage_walls": {...}, "hbm_peak_gb": ..., ...}
 
-Baseline anchor: the reference processes a human-gut sample (~13M read pairs
-at the 2 Gbp down-sample) in ~2 h on 10 CPU threads (README.md:6) ==
+Baseline anchor: the reference processes a human-gut sample (~13M read
+pairs at the 2 Gbp down-sample) in ~2 h on 10 CPU threads (README.md:6) ==
 ~1800 pairs/s end-to-end. vs_baseline = ours / 1800.
 """
 
@@ -22,6 +26,28 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PAIRS_PER_SEC = 13_000_000 / (2 * 3600.0)
+
+SCALES = {
+    # name: (n_genomes, genome_len, hgt_num, depth, two-pass?)
+    "species20": (20, 150_000, 10, 10, True),
+    "big": (100, 1_000_000, 50, 5, False),
+}
+
+
+def _fixture(out, scale, pa_cls, simulate_sample):
+    """Simulate (or reuse) the fixture; big fixtures are cached on disk."""
+    name = f"bench_{scale}"
+    ref = os.path.join(out, f"{name}.ref.fa")
+    fq1 = os.path.join(out, f"{name}.1.fq")
+    fq2 = os.path.join(out, f"{name}.2.fq")
+    truth = os.path.join(out, f"{name}.true.sv.txt")
+    n_genomes, genome_len, hgt, depth, _ = SCALES[scale]
+    if (not os.environ.get("LHT_BENCH_REGEN")
+            and all(os.path.isfile(p) for p in (ref, fq1, fq2, truth))):
+        return ref, fq1, fq2, truth
+    pa = pa_cls(n_genomes=n_genomes, genome_len=genome_len, hgt_num=hgt,
+                depth=depth, snp_rate=0.01, seed=42)
+    return simulate_sample(out, name, pa)
 
 
 def main():
@@ -36,45 +62,46 @@ def main():
     except Exception:
         pass
 
-    import numpy as np
-
     from localhgt_tpu.config import Config, KmerConfig
     from localhgt_tpu.sim import evaluate
     from localhgt_tpu.sim.simulate import SimParams, read_truth, simulate_sample
-    from localhgt_tpu.utils import formats
+    from localhgt_tpu.utils import formats, metrics
 
     dev = jax.devices()[0]
     platform = dev.platform
 
+    scale = os.environ.get("LHT_BENCH_SCALE", "big")
+    two_pass = SCALES[scale][4]
     out = "/tmp/lht_bench"
-    pa = SimParams(
-        n_genomes=20, genome_len=150_000, hgt_num=10, depth=10,
-        snp_rate=0.01, seed=42,
-    )
-    ref, fq1, fq2, truth_path = simulate_sample(out, "bench", pa)
+    os.makedirs(out, exist_ok=True)
+    t_sim = time.time()
+    ref, fq1, fq2, truth_path = _fixture(out, scale, SimParams,
+                                         simulate_sample)
+    sim_wall = time.time() - t_sim
     truth = read_truth(truth_path)
     n_pairs = sum(1 for _ in open(fq1)) // 4
 
-    # k sets both k-mer length and table bits (reference couples them); small
-    # k collides heavily (the count_diff_kmer study's point), inflating the
-    # extraction stage. k=30 -> 3x1GB int8 tables on-chip; k=32 (12GB) needs
-    # the per-hash sequential mode.
-    k = int(os.environ.get("LHT_BENCH_K", "30"))
+    # k=32 is the reference default (scripts/localhgt.py:56): 3 packed
+    # int32-word tables (3 x 2 GB) + the two-choice bucket vote path.
+    k = int(os.environ.get("LHT_BENCH_K", "32"))
     cfg = Config().replace(kmer=KmerConfig(k=k))
 
     from localhgt_tpu.pipeline.bkp import detect_breakpoint
 
-    # Run twice: the first pass absorbs one-time costs that are not
-    # pipeline work (XLA compiles on a cold cache, and the tunneled device
-    # terminal's multi-second reclamation of previous clients' GB-scale
-    # buffers, which lands on the first big allocation); the second pass is
-    # the steady-state throughput. Both walls are reported.
+    # First pass absorbs one-time costs (XLA compile on a cold cache; the
+    # tunneled device's reclamation of previous clients' buffers). On the
+    # big fixture those are <10% of wall, so a single timed pass suffices;
+    # the small fixture keeps the two-pass cold/steady split.
     t0 = time.time()
     acc = detect_breakpoint(ref, fq1, fq2, "bench", out, cfg=cfg)
     wall_cold = time.time() - t0
-    t0 = time.time()
-    acc = detect_breakpoint(ref, fq1, fq2, "bench", out, cfg=cfg)
-    wall = time.time() - t0
+    if two_pass:
+        metrics.reset()
+        t0 = time.time()
+        acc = detect_breakpoint(ref, fq1, fq2, "bench", out, cfg=cfg)
+        wall = time.time() - t0
+    else:
+        wall = wall_cold
 
     rows, _, _ = formats.read_acc_csv(acc)
     called = [
@@ -84,20 +111,26 @@ def main():
     score = evaluate.score_bkps(evaluate.truth_to_bkps(truth), called)
 
     pairs_per_sec = n_pairs / wall
-    print(json.dumps({
+    rec = {
         "metric": "bkp_pairs_per_sec",
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
         "wall_s": round(wall, 1),
         "wall_cold_s": round(wall_cold, 1),
+        "sim_wall_s": round(sim_wall, 1),
         "n_pairs": n_pairs,
         "recall": score.recall,
         "fdr": score.fdr,
         "f1": score.f1,
         "k": k,
+        "scale": scale,
         "platform": platform,
-    }))
+        "stage_walls": metrics.stage_walls(),
+    }
+    rec.update(metrics.device_memory_stats())
+    rec.update(metrics.derived(n_pairs, 150, cfg.kmer.coder_num))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

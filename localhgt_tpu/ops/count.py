@@ -12,13 +12,14 @@ deterministic scatter-add:
     semantics (SURVEY.md section 5 "race detection": the rebuild replaces the
     benign data race with deterministic merges).
 
-Tables are **1-D [2^k]** for k <= 30 (hash indices fit int32) and
-[2^(k-23), 2^23] for k > 30 (XLA gather/scatter indices are int32, so the
-2^32 hash space splits on high bits). Shapes matter on TPU: a (1, 2^k)
-array gets its unit leading dim padded to the sublane tile, quadrupling the
-HBM footprint (observed: 3 x 1 GB int8 tables billed as 3 x 4 GB arguments)
-— hence 1-D flat tables, and the sharded form sized so both dims are tile
-multiples. The single hash value 0xFFFFFFFF
+Tables are **1-D int8 [2^k]** for k <= 30 (hash indices fit int32) and
+**1-D int32 [2^(k-3)]** with eight 4-bit fields per word for k > 30 (word
+index h>>3 <= 2^29 fits XLA's int32 scatter/gather indices; an earlier 2-D
+uint8 [2^(k-24), 2^23] layout compiled to a ~5x slower TPU scatter). Shapes
+matter on TPU: a (1, 2^k) array gets its unit leading dim padded to the
+sublane tile, quadrupling the HBM footprint (observed: 3 x 1 GB int8 tables
+billed as 3 x 4 GB arguments) — hence 1-D flat tables, and the sharded form
+sized so both dims are tile multiples. The single hash value 0xFFFFFFFF
 doubles as the invalid sentinel (a degenerate all-ones k-mer code; the
 reference similarly treats index 0 as unusable, read_index cpp:936-941).
 
@@ -38,43 +39,37 @@ from localhgt_tpu.ops import encode
 TABLE_BITS = 30   # largest k stored as one count per byte (indices int32)
 SENTINEL = jnp.uint32(0xFFFFFFFF)
 
-# k > 30: two 4-bit saturating fields per byte (uint8[2^(k-1)] = 2 GB at
-# k=32, vs 4 GB one-per-byte — three such tables then fit a 16 GB chip next
-# to their scatter temps, the SURVEY section 7 "pack the counts" plan).
-# Convention: int8 dtype = plain table, uint8 dtype = packed-pair table.
+# k > 30: EIGHT 4-bit saturating fields per int32 word (int32[2^(k-3)] =
+# 2 GB at k=32, vs 4 GB one-per-byte — three such tables then fit a 16 GB
+# chip next to their scatter temps, the SURVEY section 7 "pack the counts"
+# plan). Word index = h >> 3 <= 2^29, which fits XLA's int32 scatter/gather
+# indices, so the update stays a fast 1-D scatter (a 2D uint8 layout was
+# measured ~5x slower). Convention: int8 dtype = plain table, int32 dtype =
+# packed-word table.
 PACKED_FIELD_MAX = 15
-
-
-PACK_WIDTH_BITS = 23  # packed-table row width (both dims tile multiples;
-#                       a 2^31-byte 1-D array would overflow jax's int32
-#                       index-bound constants)
+PACKED_SHIFT_BITS = 3           # 2^3 fields per word
 
 
 def make_table(k: int) -> jnp.ndarray:
     if k <= TABLE_BITS:
         return jnp.zeros(1 << k, dtype=jnp.int8)
-    return jnp.zeros((1 << (k - 1 - PACK_WIDTH_BITS), 1 << PACK_WIDTH_BITS),
-                     dtype=jnp.uint8)
+    return jnp.zeros(1 << (k - PACKED_SHIFT_BITS), dtype=jnp.int32)
 
 
 def is_packed(table) -> bool:
-    return table.dtype == jnp.uint8
+    return table.dtype == jnp.int32
 
 
-def _packed_byte_idx(h):
-    byte = h >> jnp.uint32(1)
-    hi = (byte >> jnp.uint32(PACK_WIDTH_BITS)).astype(jnp.int32)
-    lo = (byte & jnp.uint32((1 << PACK_WIDTH_BITS) - 1)).astype(jnp.int32)
-    return hi, lo
+def _packed_field_shift(h):
+    """Bit offset of hash h's 4-bit field within its word."""
+    return ((h & jnp.uint32(7)) << jnp.uint32(2)).astype(jnp.int32)
 
 
 def table_lookup(table, h):
     """Gather counts for uint32 hashes from a count table."""
     if is_packed(table):
-        hi, lo = _packed_byte_idx(h)
-        byte = table[hi, lo]
-        shift = ((h & jnp.uint32(1)) << jnp.uint32(2)).astype(jnp.uint8)
-        return ((byte >> shift) & jnp.uint8(15)).astype(jnp.int8)
+        word = table[(h >> jnp.uint32(PACKED_SHIFT_BITS)).astype(jnp.int32)]
+        return ((word >> _packed_field_shift(h)) & 15).astype(jnp.int8)
     # k <= 30: every hash < 2^30 fits int32; 1-D flat gather
     return table[h.astype(jnp.int32)]
 
@@ -119,19 +114,17 @@ def scatter_delta(table, s, contrib):
     possible: negative indices (sentinel cast to int32 = -1) drop correctly
     but hit a ~8x slower TPU scatter path (measured).
 
-    Packed tables scatter `contrib << 4*(h&1)` into the byte h>>1; per-batch
-    field totals are <= cap (rank-capped), so no carry can cross fields as
-    long as clip_tables runs before a field exceeds PACKED_FIELD_MAX."""
-    if is_packed(table):
-        hi, lo = _packed_byte_idx(s)
-        # the sentinel maps to a valid byte, but its contrib is 0
-        val = jnp.where(
-            (s & jnp.uint32(1)) == 1,
-            (contrib.astype(jnp.uint8) << jnp.uint8(4)),
-            contrib.astype(jnp.uint8),
-        )
-        return table.at[hi, lo].add(val, mode="drop")
+    Packed tables scatter `contrib << 4*(h&7)` into word h>>3 (1-D int32
+    scatter); per-batch field totals are <= cap (rank-capped), so no carry
+    can cross fields as long as clip_tables runs before a field exceeds
+    PACKED_FIELD_MAX."""
     n = table.shape[0]
+    if is_packed(table):
+        idx = jnp.where(
+            s == SENTINEL, jnp.int32(n),
+            (s >> jnp.uint32(PACKED_SHIFT_BITS)).astype(jnp.int32))
+        val = contrib.astype(jnp.int32) << _packed_field_shift(s)
+        return table.at[idx].add(val, mode="drop")
     lo = jnp.where(s == SENTINEL, jnp.int32(n), s.astype(jnp.int32))
     return table.at[lo].add(contrib, mode="drop")
 
@@ -189,9 +182,11 @@ def clip_tables(tables, cap: int = 3):
     out = []
     for t in tables:
         if is_packed(t):
-            lo = jnp.minimum(t & jnp.uint8(15), jnp.uint8(cap))
-            hi = jnp.minimum(t >> jnp.uint8(4), jnp.uint8(cap))
-            out.append(lo | (hi << jnp.uint8(4)))
+            acc = jnp.zeros_like(t)
+            for f in range(1 << PACKED_SHIFT_BITS):
+                fld = (t >> (4 * f)) & 15
+                acc = acc | (jnp.minimum(fld, cap) << (4 * f))
+            out.append(acc)
         else:
             out.append(jnp.minimum(t, jnp.int8(cap)))
     return tuple(out)
@@ -219,7 +214,7 @@ def table_lookup_np(table_host, h):
     import numpy as np
 
     h = np.asarray(h, dtype=np.int64)
-    if table_host.dtype == np.uint8:  # packed pair table
-        byte = table_host.reshape(-1)[h >> 1]
-        return ((byte >> ((h & 1) * 4)) & 15).astype(np.int8)
+    if table_host.dtype == np.int32:  # packed word table
+        word = table_host.reshape(-1)[h >> PACKED_SHIFT_BITS]
+        return ((word >> ((h & 7) * 4)) & 15).astype(np.int8)
     return table_host.reshape(-1)[h]

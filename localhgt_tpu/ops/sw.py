@@ -183,7 +183,10 @@ def sw_align_tiled(query, ref, tile: int = SW_TILE, **kw):
     Coordinates fit int16 because M, N <= a few hundred in every caller."""
     import numpy as np
 
+    from localhgt_tpu.utils import metrics
+
     B = query.shape[0]
+    metrics.add("sw_cells", float(B) * query.shape[1] * ref.shape[1])
     parts = []
     for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)
@@ -212,7 +215,10 @@ def _sw_score_i16(query, ref, match=1, mismatch=-2, gap_open=-3, gap_ext=-1):
 def sw_score_tiled(query, ref, tile: int = SW_TILE, **kw):
     import numpy as np
 
+    from localhgt_tpu.utils import metrics
+
     B = query.shape[0]
+    metrics.add("sw_cells", float(B) * query.shape[1] * ref.shape[1])
     outs = []
     for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)

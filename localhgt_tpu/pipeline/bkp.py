@@ -94,7 +94,11 @@ def detect_breakpoint(
     index = align.SeedIndex.build(subref, cfg.align.seed_len)
 
     # --- align all read pairs ---
+    from localhgt_tpu.utils import metrics
+
     t1 = time.time()
+    _align_t = metrics.stage("align")
+    _align_t.__enter__()
     tables1, tables2 = [], []
     codes1, codes2 = [], []
     n_pairs = 0
@@ -134,20 +138,24 @@ def detect_breakpoint(
     codes1 = np.concatenate(codes1) if codes1 else np.zeros((0, 64), np.uint8)
     codes2 = np.concatenate(codes2) if codes2 else np.zeros((0, 64), np.uint8)
     mapped = int(((a1.contig > 0) | (a2.contig > 0)).sum())
+    _align_t.__exit__(None, None, None)
     log.info("aligned %d pairs (%d with a mapped end) in %.1fs",
              n_pairs, mapped, time.time() - t1)
 
     # --- breakpoint calling ---
-    ins = rawbkp.estimate_insert(a1, a2, cfg.bkp)
-    log.info("read length %d, insert size %d (n=%d)", ins.rlen, ins.insert_size, ins.n)
-    raw = rawbkp.call_raw_bkps(a1, a2, ins, cfg.bkp)
+    with metrics.stage("rawbkp"):
+        ins = rawbkp.estimate_insert(a1, a2, cfg.bkp)
+        log.info("read length %d, insert size %d (n=%d)",
+                 ins.rlen, ins.insert_size, ins.n)
+        raw = rawbkp.call_raw_bkps(a1, a2, ins, cfg.bkp)
     log.info("raw junctions: %d", len(raw))
 
-    accs = accbkp.find_accurate_bkps(
-        raw, a1, a2, codes1, codes2, contigs, ins, cfg.bkp,
-        subref if use_kmer else None, read_info=read_info,
-    )
-    accs = formats.dedup_rows(accs, cfg.bkp.dedup_cutoff)
+    with metrics.stage("accbkp"):
+        accs = accbkp.find_accurate_bkps(
+            raw, a1, a2, codes1, codes2, contigs, ins, cfg.bkp,
+            subref if use_kmer else None, read_info=read_info,
+        )
+        accs = formats.dedup_rows(accs, cfg.bkp.dedup_cutoff)
     log.info("final breakpoints: %d", len(accs))
 
     acc_path = os.path.join(outdir, f"{sample}.acc.csv")

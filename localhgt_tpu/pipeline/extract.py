@@ -228,13 +228,19 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
     use_map = pset.direct_map is not None
     bitmap = None
     use_bitmap = False
+    btab = None
+    use_bucket = False
     if use_map:
         sh = pset.direct_map
         sp = jnp.zeros(1, jnp.int32)
     else:
         sh = jnp.asarray(pset.sorted_hash)
         sp = jnp.asarray(pset.sorted_peak)
-        if len(pset.sorted_hash):
+        if pset.bucket is not None:
+            # k > 30 default: 2 contiguous fused-row gathers per query
+            btab = jnp.asarray(pset.bucket)
+            use_bucket = True
+        elif len(pset.sorted_hash):
             bitmap = peaks_mod.build_peak_bitmap(sh, k=k)
             use_bitmap = True
     pc = jnp.asarray(pset.contig.astype(np.int32))
@@ -244,6 +250,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
                 peak_filter, h1, v1, h2, v2, acc1, sh, sp, pc,
                 k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
                 bitmap=bitmap, use_bitmap=use_bitmap,
+                bucket_tab=btab, use_bucket=use_bucket,
             )
         return np.asarray(peak_filter)
     masks_j = jnp.asarray(masks)
@@ -264,6 +271,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
             masks_j, sh, sp, pc,
             k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
             bitmap=bitmap, use_bitmap=use_bitmap,
+            bucket_tab=btab, use_bucket=use_bucket,
         )
     return np.asarray(peak_filter)
 
@@ -273,50 +281,48 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
 
     import time as _time
 
+    from localhgt_tpu.utils import metrics
+
     t = _time.time()
     log.info("stage A: k-mer counting")
-    tables, ratio, n_pairs, hash_cache = count_kmers(fq1, fq2, masks, cfg)
-    import jax as _jax
-    _jax.block_until_ready(tables)
+    with metrics.stage("count"):
+        tables, ratio, n_pairs, hash_cache = count_kmers(fq1, fq2, masks, cfg)
+        import jax as _jax
+        _jax.block_until_ready(tables)
     log.info("counted %d pairs (ratio %.4f) in %.1fs", n_pairs, ratio,
              _time.time() - t)
 
     t = _time.time()
     log.info("stage B: reference scan")
-    per_contig = scan_reference(tables, contigs, masks, cfg)
+    with metrics.stage("scan"):
+        per_contig = scan_reference(tables, contigs, masks, cfg)
     n_raw = sum(len(p) for _, p, _ in per_contig)
     log.info("raw candidate peaks: %d in %.1fs", n_raw, _time.time() - t)
 
     t = _time.time()
     import jax.numpy as jnp
 
-    if (4 << cfg.kmer.k) <= peaks_mod.MAX_DIRECT_MAP_BYTES:
-        # device build: hashes + count filtering + dedupe + scatter all on
-        # device, no per-contig host round-trips
-        pset = peaks_mod.build_direct_map(
-            per_contig, contigs, tables, masks, cfg.kmer.k
-        )
-    else:
-        lookup_jit = jax.jit(count.table_lookup)
-
-        def count_lookup(i, hashes):
-            if len(hashes) == 0:
-                return np.zeros(0, np.int8)
-            n = len(hashes)
-            n_pad = max(256, 1 << (n - 1).bit_length())  # few compile shapes
-            hp = np.zeros(n_pad, np.uint32)
-            hp[:n] = hashes
-            return np.asarray(lookup_jit(tables[i], jnp.asarray(hp)))[:n]
-
-        pset = peaks_mod.build_peakset(
-            per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
-            masks, cfg.kmer.k,
-        )
+    with metrics.stage("peakset"):
+        if (4 << cfg.kmer.k) <= peaks_mod.MAX_DIRECT_MAP_BYTES:
+            # device build: hashes + count filtering + dedupe + scatter all
+            # on device, no per-contig host round-trips
+            pset = peaks_mod.build_direct_map(
+                per_contig, contigs, tables, masks, cfg.kmer.k
+            )
+        else:
+            # k > 30: same device-chunked build, emitting compacted
+            # (hash, peak) pairs + the two-choice bucket lookup table
+            # instead of a 2^k map
+            pset = peaks_mod.build_hash_peakset(
+                per_contig, contigs, tables, masks, cfg.kmer.k
+            )
     log.info("peakset built in %.1fs", _time.time() - t)
 
     t = _time.time()
     log.info("stage C: split-read vote over %d peaks", pset.n)
-    votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio, cache=hash_cache)
+    with metrics.stage("vote"):
+        votes = vote_peaks(pset, fq1, fq2, masks, cfg, ratio,
+                           cache=hash_cache)
     log.info("vote pass in %.1fs", _time.time() - t)
 
     kept = np.flatnonzero(votes[1:] >= cfg.scan.min_reads) + 1

@@ -46,10 +46,11 @@ class PeakSet:
     sorted_hash: np.ndarray  # uint32 [K] peak k-mer hashes (sorted)
     sorted_peak: np.ndarray  # int32 [K] peak id per hash
     direct_map: object = None  # device int32 [2^k] hash -> peak id, or None
-    # two-choice bucket hash table (keys uint32 [Bk, S], vals int32 [Bk, S])
-    # for k > 30 where the 2^k direct map exceeds HBM: 2 contiguous 32-byte
-    # row gathers per query vs log2(K) dependent binary-search probes
-    bucket: tuple | None = None
+    # two-choice bucket hash table, FUSED rows int32 [Bk, 2S] (cols 0..S-1 =
+    # keys bitcast, S..2S-1 = peak ids) for k > 30 where the 2^k direct map
+    # exceeds HBM: one 32-byte row gather per choice returns keys AND values
+    # (2 gathers/query total vs log2(K) dependent binary-search probes)
+    bucket: np.ndarray | None = None
 
     @property
     def n(self) -> int:
@@ -126,33 +127,69 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
         pos=np.asarray(positions, np.int64),
         sorted_hash=hs,
         sorted_peak=ps,
+        bucket=(fuse_bucket(*build_bucket_table(hs, ps)[:2])
+                if len(hs) else None),
     )
 
 
 MAX_DIRECT_MAP_BYTES = 4 << 30  # int32 [2^k] fits beside the count tables
 
 # --- two-choice bucketized hash table (the k > 30 vote-lookup path) ---
-BUCKET_SLOTS = 8                # 8 x uint32 keys = one 32-byte HBM line
-_MIX1 = 0x9E3779B1              # Fibonacci hashing multipliers (odd)
-_MIX2 = 0x85EBCA6B              # murmur3 finalizer constant (odd)
+BUCKET_SLOTS = 4                # 4 x uint32 keys = one 16-byte row; smaller
+#                                 rows halve the widened gather temporaries
+#                                 (measured faster than 8-slot rows)
+_MIX_SEEDS = (0x9E3779B1, 0x85EBCA6B)   # per-choice xor seeds
 
 
-def _mix_np(h: np.ndarray, const: int, lg: int) -> np.ndarray:
-    """Top `lg` bits of h * const mod 2^32 (Fibonacci hashing)."""
-    prod = (h.astype(np.uint64) * np.uint64(const)) & np.uint64(0xFFFFFFFF)
-    return (prod >> np.uint64(32 - lg)).astype(np.int64)
+def _mix_np(h: np.ndarray, seed: int, lg: int) -> np.ndarray:
+    """murmur3 fmix32 of (h ^ seed), truncated to lg bits.
+
+    Canonical hashes are min(fwd, rc) — biased low — so a single-multiply
+    Fibonacci mix clumps them and two-choice placement kept overflowing;
+    the full finalizer avalanches every input bit."""
+    x = h.astype(np.uint32) ^ np.uint32(seed)
+    x ^= x >> np.uint32(16)
+    x = (x.astype(np.uint64) * np.uint64(0x85EBCA6B)).astype(np.uint32)
+    x ^= x >> np.uint32(13)
+    x = (x.astype(np.uint64) * np.uint64(0xC2B2AE35)).astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    return (x & np.uint32((1 << lg) - 1)).astype(np.int64)
+
+
+def _mix_jnp(h, seed: int, lg: int):
+    """jnp mirror of _mix_np (uint32 wrap-around multiply is native)."""
+    import jax.numpy as jnp
+
+    x = h ^ jnp.uint32(seed)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return (x & jnp.uint32((1 << lg) - 1)).astype(jnp.int32)
+
+
+def fuse_bucket(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Interleave (keys, vals) into one int32 [Bk, 2S] row array so a
+    single row gather returns both."""
+    return np.concatenate(
+        [keys.view(np.int32), vals.astype(np.int32)], axis=1)
 
 
 def build_bucket_table(hs: np.ndarray, ps: np.ndarray,
                        slots: int = BUCKET_SLOTS):
     """Host build of the two-choice bucket table for K (hash, peak) pairs.
 
-    Each key lives in bucket mix1(h) or mix2(h); load factor <= 0.5 makes
-    two-choice placement succeed w.h.p., and the table doubles + retries on
-    the (vanishing) failure case. Returns (keys uint32 [Bk, slots],
-    vals int32 [Bk, slots], lg_bk). Empty slots hold 0xFFFFFFFF, which no
-    valid canonical hash query reaches (it is the invalid-kmer sentinel)."""
+    Each key lives in bucket mix1(h) or mix2(h); the vectorized greedy
+    places all but a Poisson tail, which sequential cuckoo evictions finish
+    (lookups stay exactly two bucket probes); the table doubles + retries
+    only on pathological failure. Returns (keys uint32 [Bk, slots],
+    vals int32 [Bk, slots], lg_bk) — callers pass fuse_bucket(keys, vals)
+    to the lookup. Empty slots hold 0xFFFFFFFF, which no valid canonical
+    hash query reaches (it is the invalid-kmer sentinel)."""
     K = len(hs)
+    # load factor 0.5: two-choice greedy placement (no evictions) with the
+    # avalanche mix succeeds on the first attempt w.h.p.
     lg = max(6, int(np.ceil(np.log2(max(K, 1) * 2 / slots + 1))))
     hs = hs.astype(np.uint32)
     ps = ps.astype(np.int32)
@@ -162,7 +199,7 @@ def build_bucket_table(hs: np.ndarray, ps: np.ndarray,
         vals = np.zeros((Bk, slots), np.int32)
         fill = np.zeros(Bk, np.int64)
         remaining = np.arange(K, dtype=np.int64)
-        for const in (_MIX1, _MIX2):
+        for const in _MIX_SEEDS:
             if len(remaining) == 0:
                 break
             b = _mix_np(hs[remaining], const, lg)
@@ -177,11 +214,48 @@ def build_bucket_table(hs: np.ndarray, ps: np.ndarray,
             src = remaining[order[place]]
             keys[rows, cols] = hs[src]
             vals[rows, cols] = ps[src]
-            np.add.at(fill, rows, 1)
+            fill += np.bincount(rows, minlength=Bk)
             remaining = remaining[order[~place]]
+        # the vectorized greedy always leaves a small tail whose both
+        # buckets are full (Poisson: ~1e-4 of keys at load 0.5); place it
+        # with sequential random-walk cuckoo evictions, which keeps lookups
+        # at exactly two bucket probes
+        if len(remaining) and _cuckoo_tail(keys, vals, hs, ps, remaining,
+                                           lg, slots):
+            return keys, vals, lg
         if len(remaining) == 0:
             return keys, vals, lg
-        lg += 1  # overflow: double and rebuild (load halves; terminates)
+        lg += 1  # pathological overflow: double and rebuild
+
+
+def _cuckoo_tail(keys, vals, hs, ps, remaining, lg: int, slots: int,
+                 max_steps: int = 500) -> bool:
+    rng = np.random.default_rng(0xC0FFEE)
+    for ridx in remaining:
+        cur_h, cur_p = int(hs[ridx]), int(ps[ridx])
+        placed = False
+        for step in range(max_steps):
+            for const in _MIX_SEEDS:
+                b = int(_mix_np(np.array([cur_h], np.uint32), const, lg)[0])
+                empty = np.flatnonzero(keys[b] == 0xFFFFFFFF)
+                if len(empty):
+                    keys[b, empty[0]] = cur_h
+                    vals[b, empty[0]] = cur_p
+                    placed = True
+                    break
+            if placed:
+                break
+            # both buckets full: evict a random occupant and walk on
+            const = _MIX_SEEDS[step % 2]
+            b = int(_mix_np(np.array([cur_h], np.uint32), const, lg)[0])
+            s = int(rng.integers(0, slots))
+            ev_h, ev_p = int(keys[b, s]), int(vals[b, s])
+            keys[b, s] = np.uint32(cur_h)
+            vals[b, s] = np.int32(cur_p)
+            cur_h, cur_p = ev_h, ev_p
+        if not placed:
+            return False
+    return True
 
 
 def _flatten_members(per_contig, contigs, k):
@@ -234,8 +308,11 @@ def _build_map_chunk(direct_map, tables, codes_flat, gpos, pids, masks,
         ok = ok.at[i].set(ok[i] & (cnt > 0))
     C, n = hm.shape
     SEN = jnp.uint32(0xFFFFFFFF)
-    keys = jnp.where(ok, hm, SEN).reshape(-1)
-    vals = jnp.broadcast_to(pids[None, :], (C, n)).reshape(-1)
+    # position-major / coder-inner flatten = the reference's peak_kmer
+    # overwrite order (add_peak cpp:239-286); keeps dedupe winners identical
+    # across build_direct_map / build_hash_peakset / the sharded build
+    keys = jnp.where(ok, hm, SEN).T.reshape(-1)
+    vals = jnp.broadcast_to(pids[:, None], (n, C)).reshape(-1)
     keys, vals = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
     run_last = jnp.concatenate(
         [keys[1:] != keys[:-1], jnp.ones(1, bool)]
@@ -286,6 +363,85 @@ def build_direct_map(per_contig, contigs, tables, masks, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _collect_peak_hashes_chunk(tables, codes_flat, gpos, pids, masks,
+                               k: int):
+    """One device dispatch of the k > 30 peakset build: hash the reference
+    chunk, gather the peak-member hashes, filter by count-table presence
+    (build_kmer_table cpp:246-270); returns (keys, vals) with dropped rows
+    as the SENTINEL key. Flattened position-major / coder-inner — the
+    reference's peak_kmer overwrite order (add_peak cpp:239-286)."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.ops import count as count_mod
+
+    h, v = encode.canonical_hashes(jnp, codes_flat[None, :], masks, k)
+    h = h[:, 0, :]                    # [C, Lc]
+    v = v[0, :]
+    hm = h[:, gpos]                   # [C, n]
+    ok = v[gpos][None, :] & (hm != 0) & (pids != 0)[None, :]
+    for i, t in enumerate(tables):
+        cnt = count_mod.table_lookup(t, hm[i])
+        ok = ok.at[i].set(ok[i] & (cnt > 0))
+    SEN = jnp.uint32(0xFFFFFFFF)
+    keys = jnp.where(ok, hm, SEN).T.reshape(-1)           # [n*C]
+    vals = jnp.broadcast_to(pids[:, None], hm.T.shape).reshape(-1)
+    return keys, vals
+
+
+def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
+    """Device-first peakset build for k > 30 (where the 2^k direct map does
+    not fit HBM): member hashing + count filtering run on device in chunked
+    dispatches (same chunking as build_direct_map); the host only dedupes
+    the compacted (hash, peak) pairs and builds the bucket lookup table.
+    Replaces the per-contig host build, which dominated the k=32 wall
+    (~23 s on the species20 bench vs <1 s here)."""
+    import jax.numpy as jnp
+
+    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
+    total = len(contigs.codes)
+    masks_j = jnp.asarray(masks)
+    keys_all, vals_all = [], []
+    for base in range(0, max(total, 1), MAP_BUILD_CHUNK):
+        m = (gpos >= base) & (gpos < base + MAP_BUILD_CHUNK)
+        if not m.any():
+            continue
+        gp = (gpos[m] - base).astype(np.int32)
+        pd = pids[m]
+        ncap = max(256, 1 << (len(gp) - 1).bit_length())
+        gp_p = np.zeros(ncap, np.int32)
+        gp_p[: len(gp)] = gp
+        pd_p = np.zeros(ncap, np.int32)
+        pd_p[: len(gp)] = pd
+        codes_chunk = np.full(MAP_BUILD_CHUNK + k, 4, np.uint8)
+        avail = contigs.codes[base : base + MAP_BUILD_CHUNK + k]
+        codes_chunk[: len(avail)] = avail
+        kk, vv = _collect_peak_hashes_chunk(
+            tables, jnp.asarray(codes_chunk),
+            jnp.asarray(gp_p), jnp.asarray(pd_p), masks_j, k=k,
+        )
+        keys_all.append(np.asarray(kk))
+        vals_all.append(np.asarray(vv))
+    if keys_all:
+        hs = np.concatenate(keys_all)
+        ps = np.concatenate(vals_all)
+        live = hs != np.uint32(0xFFFFFFFF)
+        hs, ps = hs[live], ps[live]
+        order = np.argsort(hs, kind="stable")
+        hs, ps = hs[order], ps[order]
+        last = np.ones(len(hs), bool)
+        last[:-1] = hs[1:] != hs[:-1]
+        hs, ps = hs[last], ps[last]
+    else:
+        hs = np.zeros(0, np.uint32)
+        ps = np.zeros(0, np.int32)
+    return PeakSet(
+        contig=pcontig, pos=ppos, sorted_hash=hs, sorted_peak=ps,
+        bucket=(fuse_bucket(*build_bucket_table(hs, ps)[:2])
+                if len(hs) else None),
+    )
+
+
+@partial(jax.jit, static_argnames=("k",))
 def build_peak_bitmap(sorted_hash, k: int):
     """One-bit-per-hash presence filter (uint8[2^(k-3)], 512 MB at k=32)
     for the binary-search vote fallback: ~99.6% of queries miss, and a
@@ -315,7 +471,7 @@ def split_vote_batch(
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
     bitmap=None, use_bitmap: bool = False,
-    bucket_keys=None, bucket_vals=None, use_bucket: bool = False,
+    bucket_tab=None, use_bucket: bool = False,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -336,7 +492,7 @@ def split_vote_batch(
         inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
         return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
                                   bitmap, use_map, use_bitmap,
-                                  bucket_keys, bucket_vals, use_bucket)
+                                  bucket_tab, use_bucket)
 
     pk1 = candidates(codes1, len1)
     pk2 = candidates(codes2, len2)
@@ -346,8 +502,7 @@ def split_vote_batch(
 
 def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
                        use_map: bool, use_bitmap: bool,
-                       bucket_keys=None, bucket_vals=None,
-                       use_bucket: bool = False):
+                       bucket_tab=None, use_bucket: bool = False):
     """Peak-candidate lookup from canonical hashes — direct map (k <= 30),
     two-choice bucket table (k > 30 default), bitmap-prefiltered binary
     search, or plain binary search.
@@ -362,21 +517,20 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
         return jnp.where(v[None, :, :] & (h != 0), pk, 0)
     K = sorted_hash.shape[0]
     ok0 = v[None, :, :] & (h != 0)
-    if use_bucket and bucket_keys is not None:
-        lg = int(bucket_keys.shape[0]).bit_length() - 1
-        sh = jnp.uint32(32 - lg)
+    if use_bucket and bucket_tab is not None:
+        lg = int(bucket_tab.shape[0]).bit_length() - 1
+        S = bucket_tab.shape[1] // 2
         pk = jnp.zeros(h.shape, jnp.int32)
-        # per-coder rows keep the [.., S]-widened gather temporaries small
+        # per-coder rows keep the [.., 2S]-widened gather temporaries small
         for c in range(h.shape[0]):
             hc = h[c]
+            hi = hc.astype(jnp.int32)  # bitcast view for key equality
             found = jnp.zeros(hc.shape, jnp.int32)
-            for const in (_MIX1, _MIX2):
-                b = ((hc * jnp.uint32(const)) >> sh).astype(jnp.int32)
-                kk = bucket_keys[b]            # [.., S] one 32B line each
-                vv = bucket_vals[b]
-                m = kk == hc[..., None]
+            for const in _MIX_SEEDS:
+                row = bucket_tab[_mix_jnp(hc, const, lg)]  # one 32B gather
+                m = row[..., :S] == hi[..., None]
                 found = jnp.maximum(found, jnp.max(
-                    jnp.where(m, vv, 0), axis=-1))
+                    jnp.where(m, row[..., S:], 0), axis=-1))
             pk = pk.at[c].set(found)
         return jnp.where(ok0, pk, 0)
     if use_bitmap and K:
@@ -401,7 +555,7 @@ def split_vote_from_hashes(
     peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = True,
     bitmap=None, use_bitmap: bool = False,
-    bucket_keys=None, bucket_vals=None, use_bucket: bool = False,
+    bucket_tab=None, use_bucket: bool = False,
 ):
     """split_vote_batch fed with cached canonical hashes from the counting
     pass (stage A) — skips the second FASTQ read, host->device transfer and
@@ -410,10 +564,10 @@ def split_vote_from_hashes(
     `sorted_hash` is the direct map."""
     c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak, bitmap,
                             use_map, use_bitmap,
-                            bucket_keys, bucket_vals, use_bucket)
+                            bucket_tab, use_bucket)
     c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak, bitmap,
                             use_map, use_bitmap,
-                            bucket_keys, bucket_vals, use_bucket)
+                            bucket_tab, use_bucket)
     return _vote_core(peak_filter, c1, c2, peak_contig, accept,
                       min_base_num, n_slots)
 

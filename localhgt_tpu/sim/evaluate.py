@@ -114,3 +114,17 @@ def score_events(true_events, called_events, tol=TOLERATE_DIST):
     precision = 1 - fdr
     f1 = 2 / (1 / precision + 1 / recall) if precision > 0 and recall > 0 else 0.0
     return round(recall, 4), round(fdr, 4), round(f1, 4)
+
+
+def resource_usage() -> dict:
+    """Host CPU time + peak RSS of this process — the in-process analogue of
+    the paper harness's `/usr/bin/time -v` parsing (evaluation.py:205-240
+    extract_time/extract_mem). ru_maxrss is KB on Linux."""
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    return {
+        "cpu_user_s": round(ru.ru_utime, 1),
+        "cpu_sys_s": round(ru.ru_stime, 1),
+        "max_rss_gb": round(ru.ru_maxrss / 2**20, 3),
+    }

@@ -42,7 +42,7 @@ AMOUNT_FRACTIONS = (1.0, 0.5, 0.25)
 
 def run_one(outdir: str, name: str, sim_kw: dict, cfg: Config):
     from localhgt_tpu.pipeline.bkp import detect_breakpoint
-    from localhgt_tpu.utils import formats
+    from localhgt_tpu.utils import formats, metrics
 
     pa = SimParams(
         n_genomes=20, genome_len=120_000, hgt_num=10, seed=hash(name) % 2**31,
@@ -50,6 +50,7 @@ def run_one(outdir: str, name: str, sim_kw: dict, cfg: Config):
     )
     ref, fq1, fq2, truth_path = simulate_sample(outdir, name, pa)
     truth = read_truth(truth_path)
+    metrics.reset()
     t0 = time.time()
     acc = detect_breakpoint(ref, fq1, fq2, name, outdir, cfg=cfg)
     wall = time.time() - t0
@@ -59,10 +60,15 @@ def run_one(outdir: str, name: str, sim_kw: dict, cfg: Config):
         for r in rows
     ]
     score = evaluate.score_bkps(evaluate.truth_to_bkps(truth), called)
-    return dict(
+    row = dict(
         sample=name, **sim_kw, recall=score.recall, fdr=score.fdr,
         f1=score.f1, n_called=score.n_called, wall_s=round(wall, 1),
     )
+    # resource accounting next to accuracy, the /usr/bin/time -v role of the
+    # paper harness (evaluation.py:205-240 extract_time/extract_mem)
+    row.update(evaluate.resource_usage())
+    row.update(metrics.device_memory_stats())
+    return row
 
 
 def run_grid(outdir: str, scenario: str, cfg: Config | None = None):

@@ -41,8 +41,9 @@ def table_stats(fq1: str, fq2: str | None, k: int, ratio: float = 1.0,
     size = 1 << k
     for i, t in enumerate(tables):
         t = np.asarray(t)
-        if count.is_packed(t):  # k > 30: two 4-bit fields per byte
-            t = np.stack([t & 15, t >> 4], -1).reshape(-1)
+        if count.is_packed(t):  # k > 30: eight 4-bit fields per int32 word
+            t = np.stack([(t >> (4 * f)) & 15 for f in range(8)],
+                         -1).reshape(-1).astype(np.int8)
         empty = int((t == 0).sum())
         weak = int((t != least_depth).sum())
         out.append({

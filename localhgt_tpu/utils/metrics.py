@@ -1,0 +1,91 @@
+"""Lightweight run metrics: per-stage walls, device-memory highwater, and
+derived throughput numbers.
+
+The reference's only observability is `date +%s` deltas in pipeline.sh and
+`/usr/bin/time -v` parsing in the paper harness (SURVEY.md section 5). Here
+every pipeline stage records into a process-global registry that bench.py
+and the grid runner surface next to accuracy, and `jax.profiler.trace`
+captures can be enabled per stage with LHT_PROFILE=<dir>.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import time
+
+_STAGES: dict[str, float] = {}
+_COUNTERS: dict[str, float] = {}
+
+
+def reset() -> None:
+    _STAGES.clear()
+    _COUNTERS.clear()
+
+
+def add_time(stage: str, seconds: float) -> None:
+    _STAGES[stage] = _STAGES.get(stage, 0.0) + seconds
+
+
+def add(counter: str, value: float) -> None:
+    _COUNTERS[counter] = _COUNTERS.get(counter, 0.0) + value
+
+
+@contextlib.contextmanager
+def stage(name: str):
+    """Time a pipeline stage; optionally capture a profiler trace for it
+    (LHT_PROFILE=<dir> writes one trace per stage to <dir>/<name>)."""
+    prof_dir = os.environ.get("LHT_PROFILE")
+    ctx = contextlib.nullcontext()
+    if prof_dir:
+        import jax
+
+        ctx = jax.profiler.trace(os.path.join(prof_dir, name))
+    t0 = time.perf_counter()
+    with ctx:
+        yield
+    add_time(name, time.perf_counter() - t0)
+
+
+def stage_walls() -> dict[str, float]:
+    return {k: round(v, 3) for k, v in _STAGES.items()}
+
+
+def counters() -> dict[str, float]:
+    return dict(_COUNTERS)
+
+
+def device_memory_stats() -> dict:
+    """Peak/current HBM use of device 0 (absent on backends without the
+    memory_stats API, e.g. CPU)."""
+    try:
+        import jax
+
+        st = jax.local_devices()[0].memory_stats() or {}
+        out = {}
+        if "peak_bytes_in_use" in st:
+            out["hbm_peak_gb"] = round(st["peak_bytes_in_use"] / 2**30, 3)
+        if "bytes_in_use" in st:
+            out["hbm_in_use_gb"] = round(st["bytes_in_use"] / 2**30, 3)
+        return out
+    except Exception:
+        return {}
+
+
+def derived(n_pairs: int, read_len: int, coder_num: int) -> dict:
+    """Throughput numbers from the recorded walls.
+
+    - count_scatter_gbps: bytes touched by the count-stage scatters
+      (sorted-hash stream reads + table writes, ~9 bytes per k-mer per
+      coder) over the stage wall — an achieved-HBM-bandwidth proxy.
+    - sw_gcups: Smith-Waterman cell updates per second over the alignment
+      stage (counter `sw_cells` is recorded by ops.sw).
+    """
+    out = {}
+    w = stage_walls()
+    kmers = n_pairs * 2 * max(read_len - 20, 1) * coder_num
+    if w.get("count"):
+        out["count_scatter_gbps"] = round(kmers * 9 / w["count"] / 1e9, 2)
+    if w.get("align") and _COUNTERS.get("sw_cells"):
+        out["sw_gcups"] = round(_COUNTERS["sw_cells"] / w["align"] / 1e9, 2)
+    return out

@@ -81,15 +81,14 @@ def test_count_reads_step_end_to_end():
         )
 
 
-def test_sharded_table_layout_k32_semantics():
-    """k=32 splits the table on the top hash bit; counts land in the right
-    shard and the sentinel never pollutes index 0."""
+def test_packed_table_layout_k32_semantics():
+    """k=32 packs eight 4-bit fields per int32 word (1-D scatter); counts
+    land in the right field and the sentinel never pollutes the table."""
     import jax.numpy as jnp
 
     t = count.make_table(32)
-    # two 4-bit fields per byte: 2 GB instead of 4 GB at k=32
-    w = count.PACK_WIDTH_BITS
-    assert t.shape == (1 << (31 - w), 1 << w) and t.dtype == jnp.uint8
+    # eight 4-bit fields per int32 word: 2 GB instead of 4 GB at k=32
+    assert t.shape == (1 << 29,) and t.dtype == jnp.int32
     idx = np.array([4, 4, 4, 4, 5, (1 << 31) + 9, (3 << 30) + 7, 0xFFFFFFFE],
                    dtype=np.uint32)
     valid = np.array([True] * 7 + [False])
@@ -97,14 +96,13 @@ def test_sharded_table_layout_k32_semantics():
     t = count.scatter_delta(t, s, contrib)
     h = jnp.asarray(idx[[0, 4, 5, 6]])
     looked = np.asarray(count.table_lookup(t, h))
-    # hashes 4 and 5 share byte 2 (low/high field); 4 saturates at cap=3
+    # hashes 4 and 5 share word 0 (fields 4 and 5); 4 saturates at cap=3
     np.testing.assert_array_equal(looked, [3, 1, 1, 1])
-    t = np.asarray(t).reshape(-1)
-    assert t[2] == (3 | (1 << 4))
-    assert t[((1 << 31) + 9) >> 1] == (1 << 4)  # odd hash -> high field
-    assert t[((3 << 30) + 7) >> 1] == (1 << 4)
-    assert t[0] == 0
-    assert t[0xFFFFFFFE >> 1] == 0  # invalid entry dropped (contrib 0)
+    t = np.asarray(t)
+    assert t[0] == ((3 << 16) | (1 << 20))
+    assert t[((1 << 31) + 9) >> 3] == (1 << 4)   # field 1 of its word
+    assert t[((3 << 30) + 7) >> 3] == (1 << 28)  # field 7 of its word
+    assert t[0xFFFFFFFE >> 3] == 0  # invalid entry dropped (contrib 0)
 
 
 def test_packed_clip_and_lookup_roundtrip():

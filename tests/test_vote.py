@@ -183,3 +183,82 @@ def test_pallas_vote_state_matches_scan():
         pf, *[jnp.asarray(np.asarray(x)) for x in got],
         jnp.asarray(np.ones(B, bool)), 2)
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_pal))
+
+
+def test_bucket_table_matches_searchsorted():
+    """The two-choice bucket-table candidates path (the k > 30 default)
+    must vote identically to the sorted-table binary-search path."""
+    import jax.numpy as jnp
+
+    gA, gB, masks, pset, k = _mk()
+    keys, vals, _ = pm.build_bucket_table(pset.sorted_hash, pset.sorted_peak)
+    tab = pm.fuse_bucket(keys, vals)
+    chimera = np.concatenate([gA[120:180], gB[120:180]])[None, :]
+    mate = gB[110:170][None, :]
+    B = 1
+    pf0 = jnp.zeros(pset.n + 1, jnp.int32)
+    args = (
+        jnp.asarray(chimera), jnp.full(B, chimera.shape[1], jnp.int32),
+        jnp.asarray(mate), jnp.full(B, mate.shape[1], jnp.int32),
+        jnp.asarray(np.ones(B, bool)), jnp.asarray(masks),
+    )
+    pc = jnp.asarray(pset.contig.astype(np.int32))
+    sh = jnp.asarray(pset.sorted_hash)
+    sp = jnp.asarray(pset.sorted_peak)
+    ref = pm.split_vote_batch(pf0, *args, sh, sp, pc, k=k)
+    got = pm.split_vote_batch(
+        pf0, *args, sh, sp, pc, k=k,
+        bucket_tab=jnp.asarray(tab), use_bucket=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_bucket_table_build_handles_collisions():
+    """Adversarial build: many keys forced into few buckets must still all
+    round-trip (the table doubles until two-choice placement succeeds)."""
+    rng = np.random.default_rng(5)
+    hs = np.unique(rng.integers(1, 1 << 20, 5000).astype(np.uint32))
+    ps = np.arange(1, len(hs) + 1, dtype=np.int32)
+    keys, vals, lg = pm.build_bucket_table(hs, ps, slots=4)
+    lut = {}
+    for r in range(keys.shape[0]):
+        for s in range(keys.shape[1]):
+            if keys[r, s] != 0xFFFFFFFF:
+                lut[int(keys[r, s])] = int(vals[r, s])
+    assert len(lut) == len(hs)
+    for h, p in zip(hs.tolist(), ps.tolist()):
+        assert lut[h] == p
+
+
+def test_build_hash_peakset_matches_host_build():
+    """Device-chunked (hash, peak) collection == the host oracle build."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.io import fasta as fasta_mod
+    from localhgt_tpu.ops import count as count_mod
+
+    k = 16
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, 3000).astype(np.uint8)
+    contigs = fasta_mod.Contigs(
+        names=["c1"], lengths=np.array([3000]), offsets=np.array([0]),
+        codes=codes).finalize()
+    masks, _ = encode.hasher_for(k, 3, seed=1)
+    h, v = encode.canonical_hashes(np, codes[None, 100:220], masks, k)
+    tables = []
+    for i in range(3):
+        arr = np.zeros(1 << k, np.int8)
+        arr[h[i][v].astype(np.int64)] = 3
+        tables.append(jnp.asarray(arr))
+    tables = tuple(tables)
+    per_contig = [(1, [150], [list(range(120, 180))])]
+    pset_dev = pm.build_hash_peakset(per_contig, contigs, tables, masks, k)
+
+    def count_lookup(i, hashes):
+        return np.asarray(tables[i]).reshape(-1)[hashes.astype(np.int64)]
+
+    pset_host = pm.build_peakset(
+        per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
+        masks, k)
+    np.testing.assert_array_equal(pset_dev.sorted_hash, pset_host.sorted_hash)
+    np.testing.assert_array_equal(pset_dev.sorted_peak, pset_host.sorted_peak)
+    assert pset_dev.bucket is not None
