@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--read_info", type=int, default=1)
     b.add_argument("--refine_fq", type=int, default=0,
                    help="run fastp-equivalent read QC before detection")
+    b.add_argument("--count_ckpt", default="",
+                   help="directory for stage-A count-table checkpoints "
+                   "(resume the k-mer counting pass across runs)")
 
     e = sub.add_parser("event", help="Infer complete HGT events from "
                        "detected breakpoints.")
@@ -62,7 +65,8 @@ def build_parser() -> argparse.ArgumentParser:
         help="Downstream cohort analyses (paper_results equivalents: "
         "stats, microhomology, mechanism, network, classifier).")
     a.add_argument("what", choices=[
-        "stats", "microhomology", "mechanism", "network", "classifier"])
+        "stats", "microhomology", "mechanism", "network", "classifier",
+        "lodo", "kegg", "timeline"])
     a.add_argument("-b", help="folder with *.acc.csv files")
     a.add_argument("-r", help="reference FASTA (microhomology/mechanism)")
     a.add_argument("-e", help="event CSV (mechanism)")
@@ -80,6 +84,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--tei", help="TE insertion interval file (mechanism)")
     a.add_argument("--model", choices=["logreg", "rf"], default="logreg")
     a.add_argument("--markers", type=int, default=20)
+    a.add_argument("--kos", help="input KO id list, one per line (kegg)")
+    a.add_argument("--background-kos",
+                   help="background KO id list, one per line (kegg)")
+    a.add_argument("--ko-pathway",
+                   help="TSV mapping: KO id <tab> pathway id[,pathway...] "
+                   "(kegg; replaces the reference's KEGG REST fetch)")
+    a.add_argument("--individuals",
+                   help="CSV mapping sample,individual (timeline)")
     return p
 
 
@@ -94,7 +106,8 @@ def config_from_args(a) -> Config:
     )
     align = dataclasses.replace(cfg.align, min_mapq=a.q)
     bkp = dataclasses.replace(cfg.bkp, mapq_min=a.q, keep_xa=a.a)
-    return cfg.replace(kmer=kmer, scan=scan, align=align, bkp=bkp, threads=a.t)
+    return cfg.replace(kmer=kmer, scan=scan, align=align, bkp=bkp,
+                       threads=a.t, count_ckpt=getattr(a, "count_ckpt", ""))
 
 
 def main(argv=None) -> int:
@@ -158,6 +171,23 @@ def run_analyze(a) -> int:
     pheno = records.read_phenotype(a.pheno) if a.pheno else None
     tax = Taxonomy(a.meta)
 
+    if a.what == "kegg":
+        from localhgt_tpu.analysis import cohort
+
+        if not (a.kos and a.background_kos and a.ko_pathway):
+            print("kegg needs --kos, --background-kos and --ko-pathway",
+                  file=sys.stderr)
+            return 2
+        ko_pathway = {}
+        for line in open(a.ko_pathway):
+            parts = line.strip().split("\t")
+            if len(parts) >= 2:
+                ko_pathway[parts[0]] = parts[1].split(",")
+        kos = [l.strip() for l in open(a.kos) if l.strip()]
+        bg = [l.strip() for l in open(a.background_kos) if l.strip()]
+        emit(cohort.kegg_enrichment(kos, bg, ko_pathway))
+        return 0
+
     if a.what == "mechanism":
         from localhgt_tpu.analysis import mechanism
         from localhgt_tpu.index import reference
@@ -219,6 +249,28 @@ def run_analyze(a) -> int:
             samples, a.group1, a.group2, marker_num=a.markers, model=a.model)
         out.pop("markers", None)
         emit(out)
+        return 0
+    if a.what == "lodo":
+        from localhgt_tpu.analysis import cohort
+
+        out = cohort.lodo(samples, a.group1, a.group2,
+                          marker_num=a.markers, model=a.model)
+        emit(out)
+        return 0
+    if a.what == "timeline":
+        from localhgt_tpu.analysis import cohort
+
+        if not a.individuals:
+            print("timeline needs --individuals sample,individual CSV",
+                  file=sys.stderr)
+            return 2
+        ind = {}
+        for line in open(a.individuals):
+            parts = line.strip().split(",")
+            if len(parts) >= 2 and parts[0] != "sample":
+                ind[parts[0]] = parts[1]
+        vectors, _ = cohort.profile_vectors(samples)
+        emit(cohort.timeline_fingerprint(vectors, ind))
         return 0
     return 1
 

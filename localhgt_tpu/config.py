@@ -124,6 +124,12 @@ class Config:
     bkp: BkpConfig = dataclasses.field(default_factory=BkpConfig)
     event: EventConfig = dataclasses.field(default_factory=EventConfig)
     threads: int = 10               # host-side IO threads (-t, localhgt.py:57)
+    count_ckpt: str = ""            # directory for stage-A count-table
+    #                                 checkpoints; extends the reference's
+    #                                 only resume point (the persistent ref
+    #                                 index, extract_ref_normal_peak.cpp:
+    #                                 1401-1413) to the hours-long counting
+    #                                 pass at UHGG scale. Empty = disabled.
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -19,6 +19,7 @@ device memory (the 1-D context-parallel stencil noted in SURVEY.md section 5).
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -65,6 +66,25 @@ def _batch_width(lmax: int) -> int:
 HASH_CACHE_LIMIT = 2 << 30  # keep cached hashes for the vote pass below 2 GB
 
 
+def _count_ckpt_path(fq1: str, fq2: str, cfg: Config) -> str:
+    """Checkpoint file keyed by the FASTQ identities (path+size+mtime) and
+    every parameter that changes the tables. Stage A is the hours-long pass
+    at UHGG scale; the reference's only resume point is the persistent
+    reference index (cpp:1401-1413) — this extends resume to the sample."""
+    import hashlib
+
+    km = cfg.kmer
+    parts = []
+    for p in (fq1, fq2):
+        st = os.stat(p)
+        parts.append(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime_ns}")
+    parts.append(f"k={km.k};e={km.coder_num};seed={km.seed};"
+                 f"sample={km.sample};cap={km.least_depth};"
+                 f"strict={km.strict_sampling}")
+    h = hashlib.sha1("|".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(cfg.count_ckpt, f"counts_{h}.npz")
+
+
 def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
                 cache_limit: int = HASH_CACHE_LIMIT):
     """Stage A: build the per-hash count tables from both FASTQs.
@@ -72,10 +92,22 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
     Also opportunistically caches the device-resident canonical hashes of
     every batch (plus the accept masks) for the stage-C vote pass; the cache
     is dropped when it would exceed `cache_limit` bytes (big real samples),
-    in which case the vote pass re-streams the FASTQs."""
+    in which case the vote pass re-streams the FASTQs.
+
+    With cfg.count_ckpt set, finished tables persist to disk keyed by the
+    FASTQ identity + parameters; a later run with the same inputs resumes
+    from the checkpoint (the vote pass then re-streams the FASTQs)."""
     import jax.numpy as jnp
 
     import time as _time
+
+    ckpt = _count_ckpt_path(fq1, fq2, cfg) if cfg.count_ckpt else None
+    if ckpt and os.path.isfile(ckpt):
+        z = np.load(ckpt)
+        tables = tuple(jnp.asarray(z[f"table_{i}"])
+                       for i in range(cfg.kmer.coder_num))
+        log.info("count: resumed stage A from %s", ckpt)
+        return tables, float(z["ratio"]), int(z["n_pairs"]), None
 
     k = cfg.kmer.k
     tables = tuple(count.make_table(k) for _ in range(cfg.kmer.coder_num))
@@ -128,6 +160,14 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
     log.info("count: %d batches, host-io %.1fs, dispatch %.1fs", nb, t_io, t_dev)
     if cache is not None and len(cache[fq1]) != len(cache[fq2]):
         cache = None  # unpaired batch structure; vote re-streams
+    if ckpt:
+        os.makedirs(cfg.count_ckpt, exist_ok=True)
+        tmp = ckpt + ".tmp.npz"  # npz suffix so np.savez keeps the name
+        np.savez(tmp, ratio=ratio, n_pairs=n_pairs,
+                 **{f"table_{i}": np.asarray(t)
+                    for i, t in enumerate(tables)})
+        os.replace(tmp, ckpt)
+        log.info("count: checkpointed stage A -> %s", ckpt)
     return tables, ratio, n_pairs, cache
 
 

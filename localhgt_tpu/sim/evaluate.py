@@ -116,6 +116,72 @@ def score_events(true_events, called_events, tol=TOLERATE_DIST):
     return round(recall, 4), round(fdr, 4), round(f1, 4)
 
 
+def read_comparator_csv(path) -> list[tuple[str, int, str, int]]:
+    """Read a comparator tool's breakpoint CSV (LEMON's format: first four
+    columns = from_ref, from_pos, to_ref, to_pos; consecutive duplicates
+    collapsed) for head-to-head scoring with score_bkps — the in-repo
+    equivalent of the paper harness's LEMON comparator path
+    (read_lemon, evaluation.py:97-108; run_lemon.sh)."""
+    out = []
+    past = None
+    for line in open(path):
+        a = line.strip().split(",")
+        if not a or a[0] == "from_ref" or a[0].startswith("#"):
+            continue
+        key = tuple(a[:4])
+        if key == past:
+            continue
+        out.append((a[0], int(a[1]), a[2], int(a[3])))
+        past = key
+    return out
+
+
+def read_localhgt_csv(path, abun_cutoff: float = 1e-7,
+                      deep_flag: bool = False):
+    """Read an acc.csv with the paper harness's abundance filter:
+    cross_split_reads / sample_read_count >= abun_cutoff, and (deep_flag)
+    drop same-genome pairs (read_localHGT, evaluation.py:110-133; applied
+    with cutoff 1e-7 at :1340)."""
+    out = []
+    reads_num = None
+    for line in open(path):
+        if line.startswith("#"):
+            try:
+                reads_num = int(line.split(";")[0].split(":")[1])
+            except (IndexError, ValueError):
+                pass
+            continue
+        a = line.strip().split(",")
+        if not a or a[0] == "from_ref":
+            continue
+        from_ref, from_pos = a[0], int(a[1])
+        to_ref, to_pos = a[4], int(a[5])
+        cross = int(a[14])
+        if reads_num and cross / reads_num < abun_cutoff:
+            continue
+        if deep_flag and ("_".join(from_ref.split("_")[:-1])
+                          == "_".join(to_ref.split("_")[:-1])):
+            continue
+        out.append((from_ref, from_pos, to_ref, to_pos))
+    return out
+
+
+def compare_tools(truth, tool_csvs: dict, tol=TOLERATE_DIST) -> dict:
+    """Score several tools' call files against one truth set — the LEMON
+    head-to-head table (evaluation.py comparator flow). `tool_csvs` maps
+    tool name -> (path, kind) with kind 'localhgt' (abundance-filtered
+    acc.csv) or 'generic' (LEMON-style first-four-columns CSV)."""
+    true_bkps = truth_to_bkps(truth)
+    rows = {}
+    for name, (path, kind) in tool_csvs.items():
+        calls = (read_localhgt_csv(path) if kind == "localhgt"
+                 else read_comparator_csv(path))
+        s = score_bkps(true_bkps, calls, tol)
+        rows[name] = {"recall": s.recall, "fdr": s.fdr, "f1": s.f1,
+                      "n_called": s.n_called}
+    return rows
+
+
 def resource_usage() -> dict:
     """Host CPU time + peak RSS of this process — the in-process analogue of
     the paper harness's `/usr/bin/time -v` parsing (evaluation.py:205-240

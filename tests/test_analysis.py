@@ -283,3 +283,105 @@ def test_analyze_cli_stats_and_microhomology(toy_cohort, tmp_path, capsys):
     assert rc == 0
     mh = json.loads(out2.read_text())
     assert mh["hgt_mean"] >= 25
+
+
+# ---------- cohort drivers (LODO / KEGG / timeline) ----------
+
+def _cohort_samples(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    samples = []
+    for i in range(n):
+        gi = i % 2
+        s = records.SampleBkps(f"s{i}")
+        s.disease = "CRC" if gi == 0 else "control"
+        s.cohort = "cohortA" if i < n // 2 else "cohortB"
+        pos = 100 if gi == 0 else 900
+        npos = int(rng.integers(0, 20))
+        s.bkps.append(records.BkpRecord(
+            "gA_1", pos, "right", "+", "gB_1", pos + npos, "left", "+",
+            "False", 0.9, 1, 1, 5, 1,
+        ))
+        samples.append(s)
+    return samples
+
+
+def test_lodo_cross_cohort():
+    from localhgt_tpu.analysis import cohort
+
+    samples = _cohort_samples()
+    out = cohort.lodo(samples, "CRC", "control", marker_num=5)
+    assert set(out["per_cohort"]) == {"cohortA", "cohortB"}
+    # separable signal -> both held-out cohorts score well
+    assert out["weighted_mean"] > 0.9
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        one = [s for s in samples if s.cohort == "cohortA"]
+        cohort.lodo(one, "CRC", "control")
+
+
+def test_kegg_enrichment_ranks_enriched_pathway():
+    from localhgt_tpu.analysis import cohort
+
+    ko_pathway = {f"K{i:05d}": ["map00010"] for i in range(10)}
+    ko_pathway.update({f"K1{i:04d}": ["map99999"] for i in range(200)})
+    input_kos = [f"K{i:05d}" for i in range(10)] + ["K10000"]
+    background = list(ko_pathway)  # uniform background
+    rows = cohort.kegg_enrichment(input_kos, background, ko_pathway)
+    assert rows[0]["pathway"] == "map00010"
+    assert rows[0]["p_adj"] < 0.05
+    # 'ko'-prefixed pathways are skipped
+    rows2 = cohort.kegg_enrichment(
+        ["K1"], ["K1"], {"K1": ["ko00010", "map00010"]})
+    assert all(r["pathway"] == "map00010" for r in rows2)
+
+
+def test_bh_correction_monotone():
+    from localhgt_tpu.analysis import cohort
+
+    p = np.array([0.01, 0.02, 0.5, 0.04])
+    q = cohort.benjamini_hochberg(p)
+    assert np.all(q >= p) and np.all(q <= 1.0)
+    order = np.argsort(p)
+    assert np.all(np.diff(q[order]) >= -1e-12)
+
+
+def test_timeline_fingerprint_separates_individuals():
+    from localhgt_tpu.analysis import cohort
+
+    rng = np.random.default_rng(3)
+    samples = []
+    # two individuals, 3 time points each; same individual shares tags
+    for ind in range(2):
+        base = 100 + 700 * ind
+        for t in range(3):
+            s = records.SampleBkps(f"i{ind}t{t}")
+            for j in range(4):
+                s.bkps.append(records.BkpRecord(
+                    "gA_1", base + 100 * j, "right", "+",
+                    "gB_1", base + 100 * j + 7, "left", "+",
+                    "False", 0.9, 1, 1, 5, 1,
+                ))
+            # one random private tag so vectors are not identical
+            priv = int(rng.integers(0, 5000))
+            s.bkps.append(records.BkpRecord(
+                "gC_1", priv * 13 + 1, "right", "+", "gD_1", priv * 17 + 3,
+                "left", "+", "False", 0.9, 1, 1, 5, 1,
+            ))
+            samples.append(s)
+    vectors, tags = cohort.profile_vectors(samples)
+    assert len(tags) >= 8
+    ind_of = {f"i{ind}t{t}": f"I{ind}" for ind in range(2) for t in range(3)}
+    out = cohort.timeline_fingerprint(vectors, ind_of)
+    assert out["n_same"] == 6 and out["n_diff"] == 9
+    assert out["mean_same"] > out["mean_diff"]
+
+
+def test_jaccard_share():
+    from localhgt_tpu.analysis import cohort
+
+    e1 = [("gA", 100, "gB", 500, 900, True)]
+    e2 = [("gA", 110, "gB", 510, 890, True),
+          ("gX", 1, "gY", 2, 3, False)]
+    # one shared (within 50bp), one private in e2 -> 1 / (1 + 1)
+    assert cohort.jaccard_share(e1, e2) == 0.5
+    assert cohort.jaccard_share(e1, []) == 0.0
