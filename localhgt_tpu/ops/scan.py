@@ -45,26 +45,27 @@ def truncated_min(window: int, ratio: float) -> int:
 
 def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3,
               true_len=None):
-    """Good-window and peak masks for one contig.
+    """Good-window and peak masks for one contig (or a batch of chunks).
 
     Args:
         xp: numpy or jax.numpy.
-        hc: int8/int32 [coder_num, L] per-position table counts (0 where the
-            k-mer was invalid or index 0 — read_index, cpp:933-945).
+        hc: int8/int32 [..., coder_num, L] per-position table counts (0 where
+            the k-mer was invalid or index 0 — read_index, cpp:933-945).
+            Leading batch dims scan independent contig chunks in one call.
         k: k-mer length.
         true_len: optional dynamic contig length when hc is padded beyond the
             contig end; peak conditions are only evaluated for j < true_len
-            (the C++ loop bound, cpp:573).
+            (the C++ loop bound, cpp:573). Scalar or [...] per batch row.
 
     Returns:
-        good: bool [L], peak: bool [L].
+        good: bool [..., L], peak: bool [..., L].
     """
     L = hc.shape[-1]
     w = cfg.peak_w
     window = cfg.window
     hit = hc == least_depth
-    single = xp.any(hit, axis=0)
-    trio = xp.all(hit, axis=0)
+    single = xp.any(hit, axis=-2)
+    trio = xp.all(hit, axis=-2)
 
     s1 = xp.cumsum(single.astype(xp.int32), axis=-1)
     s3 = xp.cumsum(trio.astype(xp.int32), axis=-1)
@@ -83,7 +84,10 @@ def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3,
     j = xp.arange(L, dtype=xp.int32)
     in_range = j > (2 * k + 2 * w)  # strict, cpp:644
     if true_len is not None:
-        in_range = in_range & (j < true_len)
+        tl = xp.asarray(true_len)
+        if tl.ndim:
+            tl = tl[..., None]          # per-row length -> broadcast over L
+        in_range = in_range & (j < tl)
     right = s1 - _shifted(xp, s1p, pad, -w, L)
     base_left = (
         _shifted(xp, s1p, pad, -w, L)
@@ -91,7 +95,7 @@ def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3,
         - _shifted(xp, s1p, pad, -k - w, L)
         + _shifted(xp, s1p, pad, -k - 2 * w, L)
     )
-    peak = xp.zeros(L, dtype=bool)
+    peak = xp.zeros(good.shape, dtype=bool)
     for m in range(k, 2 * k, cfg.skip_a):
         left = (
             base_left
@@ -104,7 +108,8 @@ def scan_hits(xp, hc, k: int, cfg: ScanConfig, least_depth: int = 3,
         # shift `pos` down by m+w: out[p] = pos[p+m+w]
         sh = m + w
         shifted_pos = xp.concatenate(
-            [pos[sh:], xp.zeros((sh,), dtype=bool)], axis=-1
+            [pos[..., sh:], xp.zeros(pos.shape[:-1] + (sh,), dtype=bool)],
+            axis=-1,
         )
         peak = peak | neg | shifted_pos
     return good, peak
@@ -144,24 +149,32 @@ def peaks_in_intervals(peak: np.ndarray, intervals, merge_bin: int):
     Mirrors the add_peak/merge_peak bookkeeping (cpp:239-301): scanning
     positions in order, a peak falling in the same `merge_bin` bin as the
     previously added peak merges into it (keeping the first position); the
-    merged positions still contribute their k-mers to that peak id, which the
-    caller handles via `groups`.
+    merged positions still contribute their k-mers to that peak id.
 
-    Returns (positions, groups): positions[i] = representative position of
-    peak i; groups[i] = list of all member positions.
+    Fully vectorized (a UHGG-scale sample emits millions of peaks, so no
+    per-peak Python). Merging compares `p // merge_bin` against the current
+    representative's bin; since every member of a group shares the
+    representative's bin, group boundaries are exactly where consecutive
+    member bins differ — including across interval boundaries, as in the
+    C++ (merge_peak does not reset between good windows).
+
+    Returns (positions, members, group_ids):
+        positions int64 [P]: representative (first) position of each peak;
+        members   int64 [M]: all member positions, ascending;
+        group_ids int32 [M]: 0-based peak index of each member.
     """
     peak = np.asarray(peak, dtype=bool)
-    positions: list[int] = []
-    groups: list[list[int]] = []
-    for a, b in intervals:
-        idx = np.flatnonzero(peak[a:b]) + a
-        for p in idx:
-            if positions and p // merge_bin == positions[-1] // merge_bin:
-                groups[-1].append(int(p))
-            else:
-                positions.append(int(p))
-                groups.append([int(p)])
-    return positions, groups
+    mems = [np.flatnonzero(peak[a:b]).astype(np.int64) + a
+            for a, b in intervals]
+    mem = (np.concatenate(mems) if mems else np.zeros(0, np.int64))
+    if len(mem) == 0:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+                np.zeros(0, np.int32))
+    bins = mem // merge_bin
+    first = np.ones(len(mem), bool)
+    first[1:] = bins[1:] != bins[:-1]
+    gid = np.cumsum(first, dtype=np.int32) - np.int32(1)
+    return mem[first], mem, gid
 
 
 def final_intervals(contig_peaks, ref_near: int, ref_gap: int, contig_lens=None):

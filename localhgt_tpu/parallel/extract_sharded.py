@@ -332,13 +332,14 @@ def scan_reference_sharded(mesh: Mesh, tables, contigs: fasta.Contigs,
             continue
         ivs = scan.good_intervals(good[cid], cfg.scan.window,
                                   pad=cfg.scan.good_pad)
-        pos, groups = scan.peaks_in_intervals(peak[cid], ivs,
-                                              cfg.scan.merge_close_peak)
+        pos, mem, gid = scan.peaks_in_intervals(peak[cid], ivs,
+                                                cfg.scan.merge_close_peak)
         if total_peaks + len(pos) > cfg.scan.max_peak:
             keep = max(0, cfg.scan.max_peak - total_peaks)
-            pos, groups = pos[:keep], groups[:keep]
+            sel = gid < keep
+            pos, mem, gid = pos[:keep], mem[sel], gid[sel]
         total_peaks += len(pos)
-        per_contig.append((cid, pos, groups))
+        per_contig.append((cid, pos, mem, gid))
         if total_peaks >= cfg.scan.max_peak:
             break
     return per_contig
@@ -506,7 +507,7 @@ def extract_sharded(fq1: str, fq2: str, contigs: fasta.Contigs,
     t = _time.time()
     per_contig = scan_reference_sharded(mesh, tables, contigs, masks, cfg,
                                         block=scan_block)
-    n_raw = sum(len(p) for _, p, _ in per_contig)
+    n_raw = sum(len(p) for _, p, _, _ in per_contig)
     log.info("raw candidate peaks: %d in %.1fs", n_raw, _time.time() - t)
 
     t = _time.time()

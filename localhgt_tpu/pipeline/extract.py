@@ -177,81 +177,129 @@ import jax
 
 
 @partial(jax.jit, static_argnames=("k", "scan_cfg", "least_depth"))
-def _scan_chunk(tables, codes, true_len, masks, k, scan_cfg, least_depth):
-    """Stage B device step: hash a (padded) contig chunk, gather per-coder
-    table counts (read_index cpp:933-945: hash 0 or invalid -> count 0), and
-    run the good-window/peak stencils — one dispatch per chunk."""
+def _scan_rows(tables, codes, true_len, masks, k, scan_cfg, least_depth):
+    """Stage B device step: hash a [R, chunk] batch of (padded) contig
+    chunks, gather per-coder table counts (read_index cpp:933-945: hash 0 or
+    invalid -> count 0), and run the good-window/peak stencils — R chunks
+    per dispatch so remote-dispatch latency amortizes over rows."""
     import jax.numpy as jnp
 
-    h, v = encode.canonical_hashes(jnp, codes, masks, k)
+    h, v = encode.canonical_hashes(jnp, codes, masks, k)   # h [C, R, L]
     rows = []
     for i, t in enumerate(tables):
         cnt = count.table_lookup(t, h[i])
         rows.append(jnp.where(v & (h[i] != 0), cnt, 0))
-    hc = jnp.stack(rows).astype(jnp.int8)
-    g, p = scan.scan_hits(jnp, hc, k, scan_cfg, least_depth, true_len=true_len)
+    hc = jnp.stack(rows, axis=-2).astype(jnp.int8)          # [R, C, L]
+    g, p = scan.scan_hits(jnp, hc, k, scan_cfg, least_depth,
+                          true_len=true_len)
     # bit-pack the masks: device->host bandwidth through the tunnel is the
-    # bottleneck, so ship 2 x L/8 bytes instead of 2 x L bools
-    return jnp.packbits(g), jnp.packbits(p)
+    # bottleneck, so ship 2 x R x L/8 bytes instead of 2 x R x L bools
+    return jnp.packbits(g, axis=-1), jnp.packbits(p, axis=-1)
+
+
+SCAN_ROWS = 16  # contig chunks per scan dispatch
 
 
 def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):
-    """Stage B: per-contig good intervals + peak positions (host lists).
+    """Stage B: per-contig good intervals + peak member arrays.
 
-    Chunks are padded to a fixed size so the device function compiles once;
-    the halo covers the window sums and the 2k peak stencil."""
+    Contigs are cut into fixed-size halo-overlapped chunks; chunks from all
+    contigs are batched SCAN_ROWS at a time into [R, chunk] dispatches, and
+    every dispatch is enqueued before any result is read back, so device
+    work, tunnel transfers and host assembly all overlap (one blocking
+    round-trip per contig serialized the stage at reference scale).
+
+    Returns [(cid, positions, members, group_ids)] per contig (arrays, the
+    scan.peaks_in_intervals format)."""
     import jax.numpy as jnp
 
     k = cfg.kmer.k
     halo = cfg.scan.window + 4 * k + 64
     masks_j = jnp.asarray(masks)
-    # one fixed chunk size: smallest power of two covering the longest contig
-    # (capped at SCAN_CHUNK)
+    # fixed chunk size: cover the longest contig if small, else tile
     longest = int(max(contigs.lengths)) if contigs.n else 0
     chunk = 1 << max(12, (longest + 2 * halo - 1).bit_length())
     chunk = min(chunk, SCAN_CHUNK)
-    per_contig = []
-    total_peaks = 0
+    step = chunk - 2 * halo
+
+    # cut all contigs into chunk jobs
+    jobs = []  # (cid, s, e, cs, n_live)
     for cid in range(1, contigs.n + 1):
-        codes = contigs.contig_codes(cid)
-        L = len(codes)
+        L = contigs.length_of(cid)
         if L <= k:
             continue
-        good = np.zeros(L, bool)
-        peak = np.zeros(L, bool)
-        step = chunk - 2 * halo
         for s in range(0, L, step):
             e = min(L, s + step)
             cs = max(0, s - halo)
-            buf = np.full(chunk, 4, np.uint8)
-            n = min(chunk, L - cs)
-            buf[:n] = codes[cs : cs + n]
-            g, p = _scan_chunk(
-                tables, jnp.asarray(buf), jnp.int32(min(L - cs, chunk)),
-                masks_j, k, cfg.scan, cfg.kmer.least_depth,
-            )
-            g = np.unpackbits(np.asarray(g)).astype(bool)[:chunk]
-            p = np.unpackbits(np.asarray(p)).astype(bool)[:chunk]
-            good[s:e] = g[s - cs : s - cs + (e - s)]
-            peak[s:e] = p[s - cs : s - cs + (e - s)]
+            jobs.append((cid, s, e, cs, min(L - cs, chunk)))
             if e == L:
                 break
-        ivs = scan.good_intervals(good, cfg.scan.window, pad=cfg.scan.good_pad)
-        pos, groups = scan.peaks_in_intervals(peak, ivs, cfg.scan.merge_close_peak)
+
+    # enqueue all dispatches (async), then collect in order; a fresh host
+    # buffer per group so async transfers never read a reused buffer
+    results = []
+    for base in range(0, len(jobs), SCAN_ROWS):
+        grp = jobs[base : base + SCAN_ROWS]
+        buf = np.full((SCAN_ROWS, chunk), 4, np.uint8)
+        tl = np.zeros(SCAN_ROWS, np.int32)
+        for r, (cid, s, e, cs, n_live) in enumerate(grp):
+            codes = contigs.contig_codes(cid)
+            buf[r, : min(chunk, len(codes) - cs)] = codes[cs : cs + chunk]
+            tl[r] = n_live
+        g, p = _scan_rows(
+            tables, jnp.asarray(buf), jnp.asarray(tl),
+            masks_j, k, cfg.scan, cfg.kmer.least_depth,
+        )
+        results.append((grp, g, p))
+
+    # assemble on host while the device queue drains; jobs are
+    # contig-ordered, so one contig's masks are live at a time (bounds host
+    # memory at a thousands-of-contigs reference)
+    per_contig = []
+    state = {"total": 0, "stop": False}
+
+    def finalize(cid, good, peak):
+        ivs = scan.good_intervals(good, cfg.scan.window,
+                                  pad=cfg.scan.good_pad)
+        pos, mem, gid = scan.peaks_in_intervals(
+            peak, ivs, cfg.scan.merge_close_peak)
         # --max_peak capacity (Peaks::init cpp:229-237): the reference only
         # warns and overflows its fixed arrays past this; we truncate, which
         # bounds host memory on pathologically diverged samples
-        if total_peaks + len(pos) > cfg.scan.max_peak:
-            keep = max(0, cfg.scan.max_peak - total_peaks)
-            pos, groups = pos[:keep], groups[:keep]
+        if state["total"] + len(pos) > cfg.scan.max_peak:
+            keep = max(0, cfg.scan.max_peak - state["total"])
+            sel = gid < keep
+            pos, mem, gid = pos[:keep], mem[sel], gid[sel]
             log.warning(
                 "Too many peaks (>%d)! Reduce the sampling size, or appoint "
                 "a larger max_peak_num (see --max_peak). Truncating.",
                 cfg.scan.max_peak)
-        total_peaks += len(pos)
-        per_contig.append((cid, pos, groups))
-        if total_peaks >= cfg.scan.max_peak:
+        state["total"] += len(pos)
+        per_contig.append((cid, pos, mem, gid))
+        if state["total"] >= cfg.scan.max_peak:
+            state["stop"] = True
+
+    cur = None
+    good = peak = None
+    for grp, g, p in results:
+        if state["stop"]:
             break
+        g = np.unpackbits(np.asarray(g), axis=-1).astype(bool)
+        p = np.unpackbits(np.asarray(p), axis=-1).astype(bool)
+        for r, (cid, s, e, cs, _) in enumerate(grp):
+            if cid != cur:
+                if cur is not None:
+                    finalize(cur, good, peak)
+                    if state["stop"]:
+                        break
+                cur = cid
+                L = contigs.length_of(cid)
+                good = np.zeros(L, bool)
+                peak = np.zeros(L, bool)
+            good[s:e] = g[r, s - cs : s - cs + (e - s)]
+            peak[s:e] = p[r, s - cs : s - cs + (e - s)]
+    if cur is not None and not state["stop"]:
+        finalize(cur, good, peak)
     return per_contig
 
 
@@ -336,7 +384,7 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
     log.info("stage B: reference scan")
     with metrics.stage("scan"):
         per_contig = scan_reference(tables, contigs, masks, cfg)
-    n_raw = sum(len(p) for _, p, _ in per_contig)
+    n_raw = sum(len(p) for _, p, _, _ in per_contig)
     log.info("raw candidate peaks: %d in %.1fs", n_raw, _time.time() - t)
 
     t = _time.time()
@@ -350,12 +398,25 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
                 per_contig, contigs, tables, masks, cfg.kmer.k
             )
         else:
-            # k > 30: same device-chunked build, emitting compacted
-            # (hash, peak) pairs + the two-choice bucket lookup table
-            # instead of a 2^k map
-            pset = peaks_mod.build_hash_peakset(
-                per_contig, contigs, tables, masks, cfg.kmer.k
-            )
+            # k > 30: member hashing + count filtering + the two-choice
+            # bucket build all device-resident; the count tables (6 GB at
+            # k=32) are freed between the collect and the bucket build so
+            # the build's sort temps fit HBM
+            pcontig, ppos, keys_dev, vals_dev, n_live = \
+                peaks_mod._collect_member_pairs(
+                    per_contig, contigs, tables, masks, cfg.kmer.k)
+            del tables
+            tables = None
+            bucket = (peaks_mod.build_bucket_device(keys_dev, vals_dev,
+                                                    n_live)
+                      if n_live else None)
+            del keys_dev, vals_dev
+            pset = peaks_mod.PeakSet(
+                contig=pcontig, pos=ppos,
+                sorted_hash=np.zeros(0, np.uint32),
+                sorted_peak=np.zeros(0, np.int32), bucket=bucket)
+    # the vote never touches the count tables — drop any remaining HBM
+    del tables
     log.info("peakset built in %.1fs", _time.time() - t)
 
     t = _time.time()

@@ -61,7 +61,7 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
     """Collect peaks + their k-mers.
 
     Args:
-        per_contig: list of (contig_id, positions, groups) from
+        per_contig: list of (contig_id, positions, members, group_ids) from
             scan.peaks_in_intervals, in contig order.
         contig_codes_fn: contig_id -> uint8 code array.
         count_lookup: (hash_fn_index, uint32 hashes) -> counts; typically a
@@ -76,29 +76,20 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
     positions = [0]
     all_hashes = []
     all_peaks = []
-    pid = 0
+    pid_base = 0
     coder_num = masks.shape[0]
-    for cid, pos_list, groups in per_contig:
-        if not pos_list:
+    for cid, pos, memb, gid in per_contig:
+        if not len(pos):
             continue
         codes = contig_codes_fn(cid)
-        # flatten this contig's groups into one batched hash computation
-        mem_all = []
-        pid_all = []
-        for rep, members in zip(pos_list, groups):
-            pid += 1
-            contigs.append(cid)
-            positions.append(rep)
-            mem = np.asarray(members, dtype=np.int64)
-            # k-mers only exist for positions <= len-k (add_peak bounds check,
-            # cpp:247,262: near_pos <= ref_len-k+1)
-            mem = mem[mem <= len(codes) - k]
-            mem_all.append(mem)
-            pid_all.append(np.full(len(mem), pid, np.int32))
-        if not mem_all:
-            continue
-        mem = np.concatenate(mem_all)
-        pids = np.concatenate(pid_all)
+        contigs.extend([cid] * len(pos))
+        positions.extend(int(p) for p in pos)
+        # k-mers only exist for positions <= len-k (add_peak bounds check,
+        # cpp:247,262: near_pos <= ref_len-k+1)
+        sel = memb <= len(codes) - k
+        mem = memb[sel]
+        pids = gid[sel].astype(np.int32) + np.int32(pid_base + 1)
+        pid_base += len(pos)
         if len(mem) == 0:
             continue
         win = codes[mem[:, None] + np.arange(k)[None, :]]
@@ -258,31 +249,166 @@ def _cuckoo_tail(keys, vals, hs, ps, remaining, lg: int, slots: int,
     return True
 
 
+BUCKET_LOAD = 0.45  # target load: 2-round greedy leaves only a tiny tail
+
+
+@partial(jax.jit, donate_argnums=(0, 1, 2),
+         static_argnames=("seed", "lg", "slots"))
+def _bucket_greedy_round(keys_f, vals_f, fill, h, p, seed: int, lg: int,
+                         slots: int):
+    """One vectorized placement round: keys sort by bucket, rank within the
+    run (offset by current fill), rank < slots places into the flat table.
+    Unplaced keys survive for the next round (other seed) — the device form
+    of the host build's greedy pass."""
+    import jax.numpy as jnp
+
+    SEN = jnp.uint32(0xFFFFFFFF)
+    Bk = jnp.int32(1 << lg)
+    alive = h != SEN
+    b = jnp.where(alive, _mix_jnp(h, seed, lg), Bk)
+    bs, hs_s, ps_s = jax.lax.sort((b, h, p), num_keys=1, is_stable=True)
+    n = bs.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank = pos - run_start + fill[jnp.minimum(bs, Bk)]
+    place = (rank < slots) & (bs < Bk)
+    oob = jnp.int32(keys_f.shape[0])
+    flat = jnp.where(place, bs * slots + rank, oob)
+    keys_f = keys_f.at[flat].set(hs_s, mode="drop")
+    vals_f = vals_f.at[flat].set(ps_s, mode="drop")
+    fill = fill.at[jnp.where(place, bs, Bk)].add(1, mode="drop")
+    h_new = jnp.where(place, SEN, hs_s)
+    p_new = jnp.where(place, 0, ps_s)
+    return keys_f, vals_f, fill, h_new, p_new
+
+
+@partial(jax.jit, donate_argnums=(0, 1),
+         static_argnames=("lg", "slots"))
+def _bucket_evict_round(keys_f, vals_f, th, tp, seed, salt,
+                        lg: int, slots: int):
+    """One vectorized cuckoo round for the tail: per live key, probe the
+    seed's bucket; place into an empty slot if any, else evict a
+    hash-derived slot's occupant (which joins the tail). One winner per
+    bucket per round (first after sort); the rest defer."""
+    import jax.numpy as jnp
+
+    SEN = jnp.uint32(0xFFFFFFFF)
+    Bk = jnp.int32(1 << lg)
+    alive = th != SEN
+    b = jnp.where(alive, _mix_jnp(th, seed, lg), Bk)
+    bs, hs_s, ps_s = jax.lax.sort((b, th, tp), num_keys=1, is_stable=True)
+    first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
+    win = first & (bs < Bk)
+    base = jnp.minimum(bs, Bk - 1) * slots
+    rowk = keys_f[base[:, None] + jnp.arange(slots)[None, :]]  # [T, slots]
+    empty = rowk == SEN
+    has_empty = jnp.any(empty, axis=1)
+    eslot = jnp.argmax(empty, axis=1).astype(jnp.int32)
+    rslot = (_mix_jnp(hs_s, salt, 30) & jnp.int32(slots - 1))
+    slot = jnp.where(has_empty, eslot, rslot)
+    oob = jnp.int32(keys_f.shape[0])
+    flat = jnp.where(win, base + slot, oob)
+    ev_k = jnp.where(win & ~has_empty,
+                     keys_f.at[jnp.minimum(flat, oob - 1)].get(), SEN)
+    ev_v = jnp.where(win & ~has_empty,
+                     vals_f.at[jnp.minimum(flat, oob - 1)].get(), 0)
+    keys_f = keys_f.at[flat].set(hs_s, mode="drop")
+    vals_f = vals_f.at[flat].set(ps_s, mode="drop")
+    th_new = jnp.where(win, ev_k, hs_s)
+    tp_new = jnp.where(win, ev_v, ps_s)
+    return keys_f, vals_f, th_new, tp_new
+
+
+@partial(jax.jit, static_argnames=("slots",))
+def _fuse_bucket_dev(keys_f, vals_f, slots: int):
+    import jax.numpy as jnp
+
+    Bk = keys_f.shape[0] // slots
+    keys = jax.lax.bitcast_convert_type(keys_f.reshape(Bk, slots), jnp.int32)
+    return jnp.concatenate([keys, vals_f.reshape(Bk, slots)], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _compact_tail(h, p):
+    """Sort live keys to the front (sentinels sort last as 0xFFFFFFFF)."""
+    import jax.numpy as jnp
+
+    return jax.lax.sort((h, p), num_keys=1, is_stable=True)
+
+
+def build_bucket_device(keys_dev, vals_dev, n_live: int,
+                        slots: int = BUCKET_SLOTS):
+    """Two-choice bucket table built ON DEVICE from a device-resident
+    (hash, pid) pair stream (sentinel rows allowed): two greedy placement
+    rounds (one per seed), then vectorized cuckoo rounds on the compacted
+    tail. Returns the fused [Bk, 2*slots] int32 device table (the same
+    layout `fuse_bucket` produces on host).
+
+    The member stream at UHGG scale is hundreds of MB — building on device
+    avoids shipping it over the host link twice (out for the build, back
+    for the table)."""
+    import jax.numpy as jnp
+
+    lg = max(6, int(np.ceil(np.log2(max(n_live, 1) / slots / BUCKET_LOAD))))
+    while True:
+        nflat = (1 << lg) * slots
+        keys_f = jnp.full(nflat, 0xFFFFFFFF, jnp.uint32)
+        vals_f = jnp.zeros(nflat, jnp.int32)
+        fill = jnp.zeros((1 << lg) + 1, jnp.int32)
+        h, p = keys_dev, vals_dev
+        for seed in _MIX_SEEDS:
+            keys_f, vals_f, fill, h, p = _bucket_greedy_round(
+                keys_f, vals_f, fill, h, p, seed=seed, lg=lg, slots=slots)
+        remaining = int(jnp.sum(h != jnp.uint32(0xFFFFFFFF)))
+        if remaining:
+            # compact the tail into a small fixed buffer, then cuckoo
+            h, p = _compact_tail(h, p)
+            cap = max(1024, 1 << (remaining - 1).bit_length())
+            th, tp = h[: min(cap, h.shape[0])], p[: min(cap, p.shape[0])]
+            ok = False
+            for rnd in range(200):
+                th, tp = _compact_tail(th, tp)
+                left = int(jnp.sum(th != jnp.uint32(0xFFFFFFFF)))
+                if left == 0:
+                    ok = True
+                    break
+                keys_f, vals_f, th, tp = _bucket_evict_round(
+                    keys_f, vals_f, th, tp,
+                    jnp.uint32(_MIX_SEEDS[rnd % 2]),
+                    jnp.uint32(0xABCD01 + rnd), lg=lg, slots=slots)
+            if not ok:
+                lg += 1  # pathological overflow: double and rebuild
+                continue
+        return _fuse_bucket_dev(keys_f, vals_f, slots)
+
+
 def _flatten_members(per_contig, contigs, k):
     """Host: peak table (contig, pos) + flat member positions (global
-    coordinates in the concatenated code array) with their peak ids."""
-    pcontig = [0]
-    ppos = [0]
+    coordinates in the concatenated code array) with their peak ids.
+
+    Vectorized over the (pos, mem, gid) arrays that scan.peaks_in_intervals
+    emits — a UHGG-scale sample has millions of peaks / tens of millions of
+    members, so no per-peak Python loops."""
+    pcontig = [np.zeros(1, np.int32)]
+    ppos = [np.zeros(1, np.int64)]
     gpos_all = []
     pid_all = []
-    pid = 0
-    for cid, pos_list, groups in per_contig:
+    pid_base = 0
+    for cid, pos, mem, gid in per_contig:
         ln = contigs.length_of(cid)
         off = int(contigs.offsets[cid - 1])
-        for rep, members in zip(pos_list, groups):
-            pid += 1
-            pcontig.append(cid)
-            ppos.append(rep)
-            mem = np.asarray(members, dtype=np.int64)
-            # k-mers only exist for positions <= len-k (add_peak bounds
-            # check, cpp:247,262)
-            mem = mem[mem <= ln - k]
-            gpos_all.append(mem + off)
-            pid_all.append(np.full(len(mem), pid, np.int32))
+        pcontig.append(np.full(len(pos), cid, np.int32))
+        ppos.append(np.asarray(pos, np.int64))
+        # k-mers only exist for positions <= len-k (add_peak bounds check,
+        # cpp:247,262)
+        sel = mem <= ln - k
+        gpos_all.append(mem[sel] + off)
+        pid_all.append(gid[sel].astype(np.int32) + np.int32(pid_base + 1))
+        pid_base += len(pos)
     gpos = np.concatenate(gpos_all) if gpos_all else np.zeros(0, np.int64)
     pids = np.concatenate(pid_all) if pid_all else np.zeros(0, np.int32)
-    return (np.asarray(pcontig, np.int32), np.asarray(ppos, np.int64),
-            gpos, pids)
+    return (np.concatenate(pcontig), np.concatenate(ppos), gpos, pids)
 
 
 @partial(jax.jit, static_argnames=("k",), donate_argnums=(0,))
@@ -363,20 +489,28 @@ def build_direct_map(per_contig, contigs, tables, masks, k: int):
 
 
 @partial(jax.jit, static_argnames=("k",))
-def _collect_peak_hashes_chunk(tables, codes_flat, gpos, pids, masks,
-                               k: int):
-    """One device dispatch of the k > 30 peakset build: hash the reference
-    chunk, gather the peak-member hashes, filter by count-table presence
-    (build_kmer_table cpp:246-270); returns (keys, vals) with dropped rows
-    as the SENTINEL key. Flattened position-major / coder-inner — the
-    reference's peak_kmer overwrite order (add_peak cpp:239-286)."""
+def _hash_ref_chunk(codes_flat, masks, k: int):
+    """Hash one reference chunk (bit-sliced, same kernel as the scan);
+    returns (h uint32 [C, Lc], v bool [Lc]) device-resident for member
+    gathering."""
+    import jax.numpy as jnp
+
+    h, v = encode.canonical_hashes(jnp, codes_flat[None, :], masks, k)
+    return h[:, 0, :], v[0, :]
+
+
+@jax.jit
+def _member_batch(h, v, tables, gpos, pids):
+    """Gather one fixed-size member sub-batch from a hashed chunk, filter by
+    count-table presence (build_kmer_table cpp:246-270); returns (keys,
+    vals) [n*C] with dropped rows as the SENTINEL key, flattened
+    position-major / coder-inner — the reference's peak_kmer overwrite
+    order (add_peak cpp:239-286). Fixed shape: one compile for the whole
+    build regardless of per-chunk member counts."""
     import jax.numpy as jnp
 
     from localhgt_tpu.ops import count as count_mod
 
-    h, v = encode.canonical_hashes(jnp, codes_flat[None, :], masks, k)
-    h = h[:, 0, :]                    # [C, Lc]
-    v = v[0, :]
     hm = h[:, gpos]                   # [C, n]
     ok = v[gpos][None, :] & (hm != 0) & (pids != 0)[None, :]
     for i, t in enumerate(tables):
@@ -385,59 +519,72 @@ def _collect_peak_hashes_chunk(tables, codes_flat, gpos, pids, masks,
     SEN = jnp.uint32(0xFFFFFFFF)
     keys = jnp.where(ok, hm, SEN).T.reshape(-1)           # [n*C]
     vals = jnp.broadcast_to(pids[:, None], hm.T.shape).reshape(-1)
+    vals = jnp.where(keys == SEN, 0, vals)
     return keys, vals
 
 
-def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
-    """Device-first peakset build for k > 30 (where the 2^k direct map does
-    not fit HBM): member hashing + count filtering run on device in chunked
-    dispatches (same chunking as build_direct_map); the host only dedupes
-    the compacted (hash, peak) pairs and builds the bucket lookup table.
-    Replaces the per-contig host build, which dominated the k=32 wall
-    (~23 s on the species20 bench vs <1 s here)."""
+MEMBER_SUB = 1 << 20  # member positions gathered per fixed-shape dispatch
+
+
+def _collect_member_pairs(per_contig, contigs, tables, masks, k: int):
+    """Device-resident (hash, peak-id) pair stream for all peak members:
+    hash each reference chunk once, gather members in fixed-shape
+    sub-batches. Returns (keys_dev uint32 [T], vals_dev int32 [T], n_live)
+    with SENTINEL rows interleaved (pair order = position-major).
+
+    No global dedupe: duplicate hashes keep every (hash, pid) entry, and
+    lookups take the MAX pid among matches — identical to the reference's
+    last-writer overwrite (add_peak cpp:239-286) because pids are assigned
+    in position-major order, so the last writer is exactly the largest pid."""
     import jax.numpy as jnp
 
     pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
     total = len(contigs.codes)
     masks_j = jnp.asarray(masks)
-    keys_all, vals_all = [], []
+    keys_parts, vals_parts = [], []
+    # gpos ascending (contigs in order, members ascending): slice by range
     for base in range(0, max(total, 1), MAP_BUILD_CHUNK):
-        m = (gpos >= base) & (gpos < base + MAP_BUILD_CHUNK)
-        if not m.any():
+        lo = int(np.searchsorted(gpos, base))
+        hi = int(np.searchsorted(gpos, base + MAP_BUILD_CHUNK))
+        if hi == lo:
             continue
-        gp = (gpos[m] - base).astype(np.int32)
-        pd = pids[m]
-        ncap = max(256, 1 << (len(gp) - 1).bit_length())
-        gp_p = np.zeros(ncap, np.int32)
-        gp_p[: len(gp)] = gp
-        pd_p = np.zeros(ncap, np.int32)
-        pd_p[: len(gp)] = pd
         codes_chunk = np.full(MAP_BUILD_CHUNK + k, 4, np.uint8)
         avail = contigs.codes[base : base + MAP_BUILD_CHUNK + k]
         codes_chunk[: len(avail)] = avail
-        kk, vv = _collect_peak_hashes_chunk(
-            tables, jnp.asarray(codes_chunk),
-            jnp.asarray(gp_p), jnp.asarray(pd_p), masks_j, k=k,
-        )
-        keys_all.append(np.asarray(kk))
-        vals_all.append(np.asarray(vv))
-    if keys_all:
-        hs = np.concatenate(keys_all)
-        ps = np.concatenate(vals_all)
-        live = hs != np.uint32(0xFFFFFFFF)
-        hs, ps = hs[live], ps[live]
-        order = np.argsort(hs, kind="stable")
-        hs, ps = hs[order], ps[order]
-        last = np.ones(len(hs), bool)
-        last[:-1] = hs[1:] != hs[:-1]
-        hs, ps = hs[last], ps[last]
-    else:
-        hs = np.zeros(0, np.uint32)
-        ps = np.zeros(0, np.int32)
+        h, v = _hash_ref_chunk(jnp.asarray(codes_chunk), masks_j, k=k)
+        for s in range(lo, hi, MEMBER_SUB):
+            e = min(hi, s + MEMBER_SUB)
+            gp_p = np.zeros(MEMBER_SUB, np.int32)
+            gp_p[: e - s] = gpos[s:e] - base
+            pd_p = np.zeros(MEMBER_SUB, np.int32)
+            pd_p[: e - s] = pids[s:e]
+            kk, vv = _member_batch(h, v, tables, jnp.asarray(gp_p),
+                                   jnp.asarray(pd_p))
+            keys_parts.append(kk)
+            vals_parts.append(vv)
+    if not keys_parts:
+        return pcontig, ppos, None, None, 0
+    keys_dev = jnp.concatenate(keys_parts)
+    vals_dev = jnp.concatenate(vals_parts)
+    n_live = int(jnp.sum(keys_dev != jnp.uint32(0xFFFFFFFF)))
+    return pcontig, ppos, keys_dev, vals_dev, n_live
+
+
+def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
+    """Device-first peakset build for k > 30 (where the 2^k direct map does
+    not fit HBM): member hashing, count filtering AND the two-choice bucket
+    build all run on device — the member stream (hundreds of MB at
+    reference scale) never crosses the tunnel, and the finished bucket
+    table is already HBM-resident for the vote."""
+    pcontig, ppos, keys_dev, vals_dev, n_live = _collect_member_pairs(
+        per_contig, contigs, tables, masks, k)
+    bucket = None
+    if n_live:
+        bucket = build_bucket_device(keys_dev, vals_dev, n_live)
     return PeakSet(
-        contig=pcontig, pos=ppos, sorted_hash=hs, sorted_peak=ps,
-        bucket=(fuse_bucket(*build_bucket_table(hs, ps)[:2])
-                if len(hs) else None),
+        contig=pcontig, pos=ppos,
+        sorted_hash=np.zeros(0, np.uint32), sorted_peak=np.zeros(0, np.int32),
+        bucket=bucket,
     )
 
 

@@ -129,7 +129,9 @@ def test_build_direct_map_device():
         arr[h[i][v].astype(np.int64)] = 3
         t_new.append(jnp.asarray(arr.reshape(t.shape)))
     tables = tuple(t_new)
-    per_contig = [(1, [150], [list(range(120, 180))])]
+    per_contig = [(1, np.array([150], np.int64),
+                   np.arange(120, 180, dtype=np.int64),
+                   np.zeros(60, np.int32))]
     pset = pm.build_direct_map(per_contig, contigs, tables, masks, k)
     dm = np.asarray(pset.direct_map)
     # every registered hash must be a valid k-mer of the window with count>0
@@ -250,8 +252,11 @@ def test_build_hash_peakset_matches_host_build():
         arr[h[i][v].astype(np.int64)] = 3
         tables.append(jnp.asarray(arr))
     tables = tuple(tables)
-    per_contig = [(1, [150], [list(range(120, 180))])]
+    per_contig = [(1, np.array([150], np.int64),
+                   np.arange(120, 180, dtype=np.int64),
+                   np.zeros(60, np.int32))]
     pset_dev = pm.build_hash_peakset(per_contig, contigs, tables, masks, k)
+    assert pset_dev.bucket is not None
 
     def count_lookup(i, hashes):
         return np.asarray(tables[i]).reshape(-1)[hashes.astype(np.int64)]
@@ -259,6 +264,25 @@ def test_build_hash_peakset_matches_host_build():
     pset_host = pm.build_peakset(
         per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
         masks, k)
-    np.testing.assert_array_equal(pset_dev.sorted_hash, pset_host.sorted_hash)
-    np.testing.assert_array_equal(pset_dev.sorted_peak, pset_host.sorted_peak)
-    assert pset_dev.bucket is not None
+    # the device build keeps duplicate (hash, pid) entries and resolves them
+    # at lookup time by max pid (== the reference's last-writer overwrite,
+    # since pids are position-major); so compare LOOKUPS, not raw tables
+    tab = np.asarray(pset_dev.bucket)
+    lg = int(tab.shape[0]).bit_length() - 1
+    S = tab.shape[1] // 2
+    got = np.zeros(len(pset_host.sorted_hash), np.int32)
+    for const in pm._MIX_SEEDS:
+        rows = tab[pm._mix_np(pset_host.sorted_hash, const, lg)]
+        m = rows[:, :S] == pset_host.sorted_hash[:, None].view(np.int32)
+        got = np.maximum(got, np.max(np.where(m, rows[:, S:], 0), axis=1))
+    np.testing.assert_array_equal(got, pset_host.sorted_peak)
+    # and a miss stays a miss
+    missq = np.array([12345], np.uint32)
+    if missq[0] not in set(pset_host.sorted_hash.tolist()):
+        miss = np.zeros(1, np.int32)
+        for const in pm._MIX_SEEDS:
+            rows = tab[pm._mix_np(missq, const, lg)]
+            m = rows[:, :S] == missq[:, None].view(np.int32)
+            miss = np.maximum(miss, np.max(np.where(m, rows[:, S:], 0),
+                                           axis=1))
+        assert miss[0] == 0
