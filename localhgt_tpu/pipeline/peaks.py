@@ -252,7 +252,7 @@ def _cuckoo_tail(keys, vals, hs, ps, remaining, lg: int, slots: int,
 BUCKET_LOAD = 0.45  # target load: 2-round greedy leaves only a tiny tail
 
 
-@partial(jax.jit, donate_argnums=(0, 1, 2),
+@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
          static_argnames=("seed", "lg", "slots"))
 def _bucket_greedy_round(keys_f, vals_f, fill, h, p, seed: int, lg: int,
                          slots: int):
@@ -320,13 +320,28 @@ def _bucket_evict_round(keys_f, vals_f, th, tp, seed, salt,
     return keys_f, vals_f, th_new, tp_new
 
 
-@partial(jax.jit, static_argnames=("slots",))
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("slots",))
 def _fuse_bucket_dev(keys_f, vals_f, slots: int):
     import jax.numpy as jnp
 
     Bk = keys_f.shape[0] // slots
     keys = jax.lax.bitcast_convert_type(keys_f.reshape(Bk, slots), jnp.int32)
     return jnp.concatenate([keys, vals_f.reshape(Bk, slots)], axis=1)
+
+
+@partial(jax.jit, donate_argnums=(0, 1))
+def _dedupe_chunk(h, p):
+    """Sort one stream chunk by key (stable, so stream order survives within
+    equal-key runs) and sentinel-mask every non-last duplicate. The last
+    writer carries the largest peak id (pids are assigned position-major),
+    which is exactly what the max-probing lookup needs — so dropping the
+    earlier duplicates changes nothing semantically and saves slots."""
+    import jax.numpy as jnp
+
+    SEN = jnp.uint32(0xFFFFFFFF)
+    hs, ps = jax.lax.sort((h, p), num_keys=1, is_stable=True)
+    last = jnp.concatenate([hs[1:] != hs[:-1], jnp.ones(1, bool)])
+    return jnp.where(last, hs, SEN), jnp.where(last, ps, 0)
 
 
 @partial(jax.jit, donate_argnums=(0, 1))
