@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--read_info", type=int, default=1)
     b.add_argument("--refine_fq", type=int, default=0,
                    help="run fastp-equivalent read QC before detection")
+    b.add_argument("--multi_chip", choices=["auto", "on", "off"],
+                   default="auto",
+                   help="run extraction over all visible chips via "
+                        "jax.sharding (auto: when >1 device; intervals are "
+                        "identical to single-device)")
     b.add_argument("--count_ckpt", default="",
                    help="directory for stage-A count-table checkpoints "
                    "(resume the k-mer counting pass across runs)")
@@ -135,6 +140,7 @@ def _dispatch(args) -> int:
             use_kmer=bool(args.use_kmer),
             read_info=bool(args.read_info),
             refine_fq=bool(args.refine_fq),
+            mesh={"auto": "auto", "on": "force", "off": None}[args.multi_chip],
         )
         return 0
     if args.command == "event":

@@ -114,6 +114,10 @@ class EventConfig:
     window: int = 200               # contig-end exclusion window (Match.window)
     pop_sample: int = 200           # cohort samples for ambiguity check (remove_ambiguity_pop)
     max_ambiguity_clusters: int = 2 # DBSCAN cluster cap (check_if_match:189)
+    seed: int = 1                   # ambiguity-subsample RNG seed: the
+    # reference's remove_ambiguity_pop shuffles UNSEEDED
+    # (infer_HGT_event.py:258), so two identical runs can emit different
+    # event sets on >pop_sample cohorts; this framework seeds it (r2 ask #7)
 
 
 @dataclasses.dataclass(frozen=True)

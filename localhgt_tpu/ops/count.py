@@ -51,9 +51,14 @@ PACKED_SHIFT_BITS = 3           # 2^3 fields per word
 
 
 def make_table(k: int) -> jnp.ndarray:
+    from localhgt_tpu.utils import layout
+
     if k <= TABLE_BITS:
-        return jnp.zeros(1 << k, dtype=jnp.int8)
-    return jnp.zeros(1 << (k - PACKED_SHIFT_BITS), dtype=jnp.int32)
+        t = jnp.zeros(1 << k, dtype=jnp.int8)
+    else:
+        t = jnp.zeros(1 << (k - PACKED_SHIFT_BITS), dtype=jnp.int32)
+    layout.assert_lane_efficient(t, "count_table")
+    return t
 
 
 def is_packed(table) -> bool:

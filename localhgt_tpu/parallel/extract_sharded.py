@@ -19,15 +19,17 @@ Design (SPMD over one flat mesh axis "x"; SURVEY.md section 2.5's
   returns combined counts to the block owner — the tables (GBs) never
   replicate. Blocks from ALL contigs batch into one fixed-shape dispatch
   stream, so dispatch count tracks reference size / block, not contig count.
-* **Vote: replicated bucket table.** The hash->peak structure in sharded
-  mode is always the two-choice bucket table (a few MB per million peak
-  k-mers) — small enough to replicate, so vote lookups are local; per-shard
-  vote tallies merge with one psum. The 2^k direct map is a single-chip
-  luxury, not worth a distributed lookup per read position.
+* **Vote: replicated rank-select map.** The hash->peak structure in sharded
+  mode is always the RankMap (word bitmap + prefix popcounts + pids in hash
+  order; ~8 B per stored k-mer plus the 2^(k-4)-int bitmap) — small enough
+  to replicate, so vote lookups are local; per-shard vote tallies merge
+  with one psum. The 2^k direct map is a single-chip luxury, not worth a
+  distributed lookup per read position.
 * **Peakset build:** member hashing is replicated (cheap, chunk-local);
-  the count-table presence filter uses the distributed gather; the host
-  dedupes (position-major, the reference's overwrite order) and builds the
-  bucket table once.
+  the count-table presence filter uses the distributed gather; the rank map
+  builds from the replicated pair stream with the same scatter passes as the
+  single-device build (scatter-max pid == the reference's last-writer
+  overwrite), so it is deterministic and identical on every device.
 
 Interval outputs are bit-identical to the single-device `extract()` (the
 dedupe order is unified across build paths), asserted by
@@ -346,7 +348,7 @@ def scan_reference_sharded(mesh: Mesh, tables, contigs: fasta.Contigs,
 
 
 # --------------------------------------------------------------------------
-# peakset build (sharded count filter) + vote (replicated bucket table)
+# peakset build (sharded count filter) + vote (replicated rank map)
 # --------------------------------------------------------------------------
 
 
@@ -361,8 +363,11 @@ def make_collect_step(mesh: Mesh, k: int, coder_num: int):
             cnt = _distributed_lookup(t, hm[i])
             ok = ok.at[i].set(ok[i] & (cnt > 0))
         SEN = jnp.uint32(0xFFFFFFFF)
-        keys = jnp.where(ok, hm, SEN).T.reshape(-1)   # position-major
-        vals = jnp.broadcast_to(pids[:, None], hm.T.shape).reshape(-1)
+        # coder-major flatten (no [n, C] transpose, whose small minor dim
+        # would lane-pad); order is irrelevant under scatter-max dedupe
+        keys = jnp.where(ok, hm, SEN).reshape(-1)
+        vals = jnp.broadcast_to(pids[None, :], hm.shape).reshape(-1)
+        vals = jnp.where(keys == SEN, 0, vals)
         return keys, vals
 
     fn = shard_map(
@@ -382,50 +387,41 @@ def build_peakset_sharded(mesh: Mesh, per_contig, contigs, tables, masks,
     masks_j = _replicate(mesh, jnp.asarray(masks))
     step = make_collect_step(mesh, k, len(tables))
     CH = peaks_mod.MAP_BUILD_CHUNK
-    keys_all, vals_all = [], []
-    for base in range(0, max(total, 1), CH):
-        m = (gpos >= base) & (gpos < base + CH)
-        if not m.any():
-            continue
-        gp = (gpos[m] - base).astype(np.int32)
-        pd = pids[m]
-        ncap = max(256, 1 << (len(gp) - 1).bit_length())
-        gp_p = np.zeros(ncap, np.int32)
-        gp_p[: len(gp)] = gp
-        pd_p = np.zeros(ncap, np.int32)
-        pd_p[: len(gp)] = pd
-        codes_chunk = np.full(CH + k, 4, np.uint8)
-        avail = contigs.codes[base : base + CH + k]
-        codes_chunk[: len(avail)] = avail
-        kk, vv = step(tables, _replicate(mesh, jnp.asarray(codes_chunk)),
-                      _replicate(mesh, jnp.asarray(gp_p)),
-                      _replicate(mesh, jnp.asarray(pd_p)), masks_j)
-        keys_all.append(np.asarray(kk))
-        vals_all.append(np.asarray(vv))
-    if keys_all:
-        hs = np.concatenate(keys_all)
-        ps = np.concatenate(vals_all)
-        live = hs != SENTINEL
-        hs, ps = hs[live], ps[live]
-        order = np.argsort(hs, kind="stable")
-        hs, ps = hs[order], ps[order]
-        last = np.ones(len(hs), bool)
-        last[:-1] = hs[1:] != hs[:-1]
-        hs, ps = hs[last], ps[last]
-    else:
-        hs = np.zeros(0, np.uint32)
-        ps = np.zeros(0, np.int32)
+
+    def pair_batches():
+        """Replicated (hash, pid) pair batches: every device computes the
+        same stream, so the rank-map scatter passes stay replicated and
+        deterministic."""
+        for base in range(0, max(total, 1), CH):
+            m = (gpos >= base) & (gpos < base + CH)
+            if not m.any():
+                continue
+            gp = (gpos[m] - base).astype(np.int32)
+            pd = pids[m]
+            ncap = max(256, 1 << (len(gp) - 1).bit_length())
+            gp_p = np.zeros(ncap, np.int32)
+            gp_p[: len(gp)] = gp
+            pd_p = np.zeros(ncap, np.int32)
+            pd_p[: len(gp)] = pd
+            codes_chunk = np.full(CH + k, 4, np.uint8)
+            avail = contigs.codes[base : base + CH + k]
+            codes_chunk[: len(avail)] = avail
+            yield step(tables, _replicate(mesh, jnp.asarray(codes_chunk)),
+                       _replicate(mesh, jnp.asarray(gp_p)),
+                       _replicate(mesh, jnp.asarray(pd_p)), masks_j)
+
+    rmap = peaks_mod.build_rankmap_device(pair_batches, k)
     return peaks_mod.PeakSet(
-        contig=pcontig, pos=ppos, sorted_hash=hs, sorted_peak=ps,
-        bucket=(peaks_mod.fuse_bucket(
-            *peaks_mod.build_bucket_table(hs, ps)[:2])
-                if len(hs) else None),
+        contig=pcontig, pos=ppos,
+        sorted_hash=np.zeros(0, np.uint32),
+        sorted_peak=np.zeros(0, np.int32),
+        rmap=rmap,
     )
 
 
 def make_vote_step(mesh: Mesh, k: int, min_base_num: int):
     def step(peak_filter, codes1, len1, codes2, len2, accept, masks,
-             btab, pc):
+             rank_wp, rank_pids, pc):
         def cands(codes, lengths):
             h, v = encode.canonical_hashes(jnp, codes, masks, k)
             L = codes.shape[-1]
@@ -433,8 +429,8 @@ def make_vote_step(mesh: Mesh, k: int, min_base_num: int):
                      <= (lengths[:, None] - k))
             return peaks_mod._candidates_from_h(
                 h, v & inwin, jnp.zeros(0, jnp.uint32),
-                jnp.zeros(0, jnp.int32), None, False, False,
-                btab, True)
+                jnp.zeros(0, jnp.int32), False,
+                rank_wp, rank_pids, True)
 
         delta = peaks_mod._vote_core(
             jnp.zeros_like(peak_filter), cands(codes1, len1),
@@ -444,7 +440,7 @@ def make_vote_step(mesh: Mesh, k: int, min_base_num: int):
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(P(), P("x", None), P("x"), P("x", None), P("x"), P("x"),
-                  P(), P(), P()),
+                  P(), P(), P(), P()),
         out_specs=P(),
         check_vma=False,
     )
@@ -453,10 +449,11 @@ def make_vote_step(mesh: Mesh, k: int, min_base_num: int):
 
 def vote_peaks_sharded(mesh: Mesh, pset, fq1, fq2, masks, cfg: Config,
                        ratio, batch_reads: int = 1 << 15) -> np.ndarray:
-    if pset.bucket is None:
+    if pset.rmap is None:
         return np.zeros(pset.n + 1, np.int32)
     k = cfg.kmer.k
-    btab = _replicate(mesh, jnp.asarray(pset.bucket))
+    rank_wp = _replicate(mesh, jnp.asarray(pset.rmap.wp))
+    rank_pids = _replicate(mesh, jnp.asarray(pset.rmap.pids))
     pc = _replicate(mesh, jnp.asarray(pset.contig.astype(np.int32)))
     masks_j = _replicate(mesh, jnp.asarray(masks))
     pf = _replicate(mesh, jnp.zeros(pset.n + 1, jnp.int32))
@@ -476,7 +473,7 @@ def vote_peaks_sharded(mesh: Mesh, pset, fq1, fq2, masks, cfg: Config,
                   _shard_x(mesh, jnp.asarray(c2)),
                   _shard_x(mesh, jnp.asarray(l2)),
                   _shard_x(mesh, jnp.asarray(acc_p)),
-                  masks_j, btab, pc)
+                  masks_j, rank_wp, rank_pids, pc)
     return np.asarray(pf)
 
 

@@ -258,6 +258,36 @@ def _group_candidates(qidx, diag, qoff, n_queries, gap, max_candidates, min_vote
     return out_diag, out_votes, out_qmin, out_qmax, out_ok
 
 
+def _bwa_mapq(p_score, comp_score, sub_n, aln_len, cfg) -> np.ndarray:
+    """bwa-mem's published mapq model (mem_approx_mapq_se, bwamem.c):
+
+        sub  = max(best competitor, min_seed_len * a)
+        iden = 1 - (l*a - score) / (a + b) / l          # percent identity
+        tmp  = (l < 50 ? 1 : log(50)/log(l)) * iden^2
+        mapq = 6.02 * (score - sub) / a * tmp^2
+        mapq -= 4.343 * ln(sub_n + 1);  clip [0, 60];  0 when sub >= score
+
+    replacing the round-2 linear heuristic clip(6*(score-comp)) so the
+    mapq >= 20 gates downstream (get_raw_bkp.py:55-61, accurate_bkp) see
+    bwa-calibrated values: short or repetitive placements drop below 20 the
+    way bwa drops them, instead of saturating at 60 whenever no competitor
+    was found. frac_rep (bwa's repeat-fraction damping) has no analog here
+    and is treated as 0. Validated by tools/mapq_calibration.py + the
+    tightened gates in tests/test_direct_mode.py (r2 ask #6)."""
+    a = float(cfg.match)
+    b = float(-cfg.mismatch)
+    score = p_score.astype(np.float64)
+    sub = np.maximum(comp_score.astype(np.float64), a * cfg.seed_len)
+    l = np.maximum(aln_len.astype(np.float64), 1.0)
+    identity = np.clip(1.0 - (l * a - score) / (a + b) / l, 0.0, 1.0)
+    tmp = np.where(l < 50.0, 1.0, np.log(50.0) / np.log(np.maximum(l, 2.0)))
+    tmp = tmp * identity * identity
+    mapq = (6.02 * (score - sub) / a * tmp * tmp + 0.499).astype(np.int64)
+    mapq -= (4.343 * np.log1p(sub_n.astype(np.float64)) + 0.499).astype(np.int64)
+    mapq = np.clip(mapq, 0, 60)
+    return np.where(sub >= score, 0, mapq).astype(np.int16)
+
+
 def _revcomp_batch(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement padded reads, keeping padding at the tail."""
     B, L = codes.shape
@@ -440,15 +470,20 @@ def align_batch(
     # competitor: overlapping placement of the same read part
     competitor = (~is_prim) & valid_c & (overlap > span // 2)
     comp_score = np.where(competitor, score, 0).max(axis=1)
-    mapq = np.clip(6 * (p_score - comp_score), 0, 60).astype(np.int16)
     # bwa XA equivalent: a competitor within the 80% score drop ratio would
     # be listed in the XA tag (get_raw_bkp.py:55-77 drops such reads at -a 0)
-    has_alt = (comp_score > 0) & (
-        comp_score.astype(np.int64) * 10 >= p_score.astype(np.int64) * 8
-    )
-    # split: disjoint-enough secondary with decent score (the reference's
-    # split-read extractor keeps primary + one SA alignment, i.e. <= 2
-    # parts per read — extractSplitReads_BwaMem.py:9-46)
+    alt_like = competitor & (
+        score.astype(np.int64) * 10 >= (p_score[:, None].astype(np.int64) * 8)
+    ) & (score > 0)
+    has_alt = alt_like.any(axis=1)
+    mapq = _bwa_mapq(p_score, comp_score, alt_like.sum(axis=1),
+                     np.maximum(p_qe - p_qs, p_re - p_rs) + 1, cfg)
+    # split: disjoint-enough secondary with decent score. The reference's
+    # split-read extractor keeps a read iff its SA tag holds EXACTLY ONE
+    # alignment (len(el.split(";")) <= numSplits=2 counts the trailing
+    # empty string after the final ';'), i.e. primary + one split part —
+    # which is precisely this table's (primary, contig2) pair
+    # (extractSplitReads_BwaMem.py:24-27)
     splitable = (
         (~is_prim) & valid_c
         & (np.minimum(nonov_self, nonov_prim) >= cfg.min_split_len)

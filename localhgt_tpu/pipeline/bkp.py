@@ -33,6 +33,31 @@ from localhgt_tpu.utils import formats
 log = logging.getLogger("localhgt_tpu.bkp")
 
 
+class CompactRows:
+    """Row-indexable view over a sparse subset of rows (the split-read code
+    sequences accbkp needs — ~0.1% of reads), so the full [n_reads, width]
+    code matrix (GBs at 13M pairs) never stays resident. Rows not kept at
+    construction raise, which is the contract: callers index only rows they
+    selected (aln.contig2 >= 0)."""
+
+    def __init__(self, row_ids: np.ndarray, data: np.ndarray):
+        self.row_ids = row_ids  # sorted global row indices
+        self.data = data
+
+    @classmethod
+    def concat(cls, parts: list, width: int) -> "CompactRows":
+        if not parts:
+            return cls(np.zeros(0, np.int64), np.zeros((0, width), np.uint8))
+        return cls(np.concatenate([p[0] for p in parts]),
+                   np.concatenate([p[1] for p in parts]))
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        j = int(np.searchsorted(self.row_ids, i))
+        if j >= len(self.row_ids) or self.row_ids[j] != i:
+            raise KeyError(f"read row {i} was not retained (not a split read)")
+        return self.data[j]
+
+
 def detect_breakpoint(
     ref_path: str,
     fq1: str,
@@ -43,8 +68,14 @@ def detect_breakpoint(
     use_kmer: bool = True,
     read_info: bool = True,
     refine_fq: bool = False,
+    mesh=None,
 ) -> str:
-    """Run breakpoint detection; returns the path of <sample>.acc.csv."""
+    """Run breakpoint detection; returns the path of <sample>.acc.csv.
+
+    `mesh`: a jax.sharding.Mesh to run the extraction stage multi-chip
+    (parallel.extract_sharded — interval output identical to single-device);
+    pass "auto" to use all visible devices when more than one is present
+    (the CLI default). None = single-device extract."""
     from localhgt_tpu.utils import validate
 
     cfg = cfg or Config()
@@ -69,8 +100,24 @@ def detect_breakpoint(
     contigs = reference.build(ref_path)
     log.info("reference: %d contigs, %d bp", contigs.n, len(contigs.codes))
 
+    if mesh in ("auto", "force"):
+        import jax
+
+        want = mesh == "force" or len(jax.devices()) > 1
+        mesh = None
+        if want:
+            from localhgt_tpu.parallel import extract_sharded as shx
+
+            mesh = shx.make_flat_mesh()
+            log.info("multi-chip extraction: %d devices", mesh.devices.size)
+
     if use_kmer:
-        res = extract.extract(fq1, fq2, contigs, cfg)
+        if mesh is not None:
+            from localhgt_tpu.parallel import extract_sharded as shx
+
+            res = shx.extract_sharded(fq1, fq2, contigs, cfg, mesh)
+        else:
+            res = extract.extract(fq1, fq2, contigs, cfg)
         intervals = res.intervals
         # numeric interval file + .bed, same formats as extract_ref +
         # get_bed_file.py produce (pipeline.sh:35-36)
@@ -106,6 +153,7 @@ def detect_breakpoint(
     # through the device tunnel (~0.2 s RTT) dominates small batches
     batch_reads = 1 << 16
     width = None
+    row_base = 0
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
                                        threads=cfg.threads):
         if width is None:
@@ -131,12 +179,18 @@ def detect_breakpoint(
                                   cfg.align, threads=cfg.threads)
             t = _crop_table(t, b.n)
             tabs.append(t)
-            codes_all.append(c[: b.n])
+            # retain code sequences ONLY for split candidates (contig2 >= 0):
+            # accbkp.make_split_reads reads nothing else, and the full code
+            # matrix would hold ~n_pairs * width * 2 bytes of host RAM
+            # (~4 GB at the 13M-pair headline workload) for the entire run
+            keep = np.flatnonzero(t.contig2 >= 0)
+            codes_all.append((keep + row_base, c[keep]))
+        row_base += b1.n
         n_pairs += b1.n
     a1 = align.AlnTable.concat(tables1)
     a2 = align.AlnTable.concat(tables2)
-    codes1 = np.concatenate(codes1) if codes1 else np.zeros((0, 64), np.uint8)
-    codes2 = np.concatenate(codes2) if codes2 else np.zeros((0, 64), np.uint8)
+    codes1 = CompactRows.concat(codes1, width or 64)
+    codes2 = CompactRows.concat(codes2, width or 64)
     mapped = int(((a1.contig > 0) | (a2.contig > 0)).sum())
     _align_t.__exit__(None, None, None)
     log.info("aligned %d pairs (%d with a mapped end) in %.1fs",

@@ -65,6 +65,11 @@ def _load_sample(path: str) -> list[Bkp]:
 class EventMatcher:
     def __init__(self, result_dir: str, ref_path: str, cfg: EventConfig):
         self.cfg = cfg
+        # seeded: the reference shuffles the ambiguity-check cohort with the
+        # global unseeded RNG (infer_HGT_event.py:258), so its event output
+        # varies run to run on >pop_sample cohorts; this framework is
+        # deterministic by design (SURVEY.md section 5)
+        self._rng = random.Random(cfg.seed)
         self.ref = fasta.read_fasta(ref_path)
         self.cohort: dict[str, list[Bkp]] = {}
         for fn in sorted(os.listdir(result_dir)):
@@ -129,8 +134,8 @@ class EventMatcher:
         this insertion site across <=200 random cohort samples must form few
         1-D DBSCAN(eps=bin_size) clusters."""
         ids = list(self.cohort)
-        random.shuffle(ids)
-        ids = list(set(ids[: self.cfg.pop_sample] + [sample_id]))
+        self._rng.shuffle(ids)
+        ids = sorted(set(ids[: self.cfg.pop_sample] + [sample_id]))
         pos = []
         md = self.cfg.max_diff
         for sid in ids:

@@ -314,31 +314,27 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
     k = cfg.kmer.k
     peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
     use_map = pset.direct_map is not None
-    bitmap = None
-    use_bitmap = False
-    btab = None
-    use_bucket = False
+    rank_wp = rank_pids = None
+    use_rank = False
+    sh = jnp.zeros(0, jnp.uint32)
+    sp = jnp.zeros(0, jnp.int32)
     if use_map:
         sh = pset.direct_map
-        sp = jnp.zeros(1, jnp.int32)
-    else:
+    elif pset.rmap is not None:
+        # k > 30 default: rank-select map, 3 one-dimensional gathers/query
+        rank_wp = jnp.asarray(pset.rmap.wp)
+        rank_pids = jnp.asarray(pset.rmap.pids)
+        use_rank = True
+    elif len(pset.sorted_hash):
         sh = jnp.asarray(pset.sorted_hash)
         sp = jnp.asarray(pset.sorted_peak)
-        if pset.bucket is not None:
-            # k > 30 default: 2 contiguous fused-row gathers per query
-            btab = jnp.asarray(pset.bucket)
-            use_bucket = True
-        elif len(pset.sorted_hash):
-            bitmap = peaks_mod.build_peak_bitmap(sh, k=k)
-            use_bitmap = True
     pc = jnp.asarray(pset.contig.astype(np.int32))
     if cache is not None:
         for (h1, v1, acc1), (h2, v2, _) in zip(cache[fq1], cache[fq2]):
             peak_filter = peaks_mod.split_vote_from_hashes(
                 peak_filter, h1, v1, h2, v2, acc1, sh, sp, pc,
                 k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
-                bitmap=bitmap, use_bitmap=use_bitmap,
-                bucket_tab=btab, use_bucket=use_bucket,
+                rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
             )
         return np.asarray(peak_filter)
     masks_j = jnp.asarray(masks)
@@ -358,8 +354,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
             jnp.asarray(acc_p),
             masks_j, sh, sp, pc,
             k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
-            bitmap=bitmap, use_bitmap=use_bitmap,
-            bucket_tab=btab, use_bucket=use_bucket,
+            rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
         )
     return np.asarray(peak_filter)
 
@@ -398,23 +393,12 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
                 per_contig, contigs, tables, masks, cfg.kmer.k
             )
         else:
-            # k > 30: member hashing + count filtering + the two-choice
-            # bucket build all device-resident; the count tables (6 GB at
-            # k=32) are freed between the collect and the bucket build so
-            # the build's sort temps fit HBM
-            pcontig, ppos, keys_dev, vals_dev, n_live = \
-                peaks_mod._collect_member_pairs(
-                    per_contig, contigs, tables, masks, cfg.kmer.k)
-            del tables
-            tables = None
-            bucket = (peaks_mod.build_bucket_device(keys_dev, vals_dev,
-                                                    n_live)
-                      if n_live else None)
-            del keys_dev, vals_dev
-            pset = peaks_mod.PeakSet(
-                contig=pcontig, pos=ppos,
-                sorted_hash=np.zeros(0, np.uint32),
-                sorted_peak=np.zeros(0, np.int32), bucket=bucket)
+            # k > 30: member hashing + count filtering + the rank-map build
+            # all device-resident (streaming scatter passes — no device-wide
+            # sorts, no multi-GB temporaries; peak HBM alongside the 3 x 2 GB
+            # packed tables stays well under the 16 GB chip)
+            pset = peaks_mod.build_hash_peakset(
+                per_contig, contigs, tables, masks, cfg.kmer.k)
     # the vote never touches the count tables — drop any remaining HBM
     del tables
     log.info("peakset built in %.1fs", _time.time() - t)

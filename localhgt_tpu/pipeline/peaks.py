@@ -13,14 +13,22 @@ The reference's 2^32-entry peak_kmer array (16 GB) is replaced by either
   * a **direct-address device map** int32[2^k] when it fits HBM (k <= 30:
     4 GB next to the 3 x 1 GB count tables on a 16 GB v5e) — one HBM gather
     per query, or
-  * a sorted (hash, peak) table + binary search (k = 32 fallback) — the
-    searchsorted costs log2(K) dependent gathers per query, which profiling
-    shows dominates the whole vote pass, hence the direct map default.
-Both are built **on device** in one dispatch per <=2^31-bp reference chunk:
-hash every reference position (bit-sliced, same kernel as the scan), gather
-the member positions, filter by count-table hits, and dedupe duplicate
-hashes with a stable device sort keeping the last writer (the reference
-overwrites peak_kmer[hash] in scan order, add_peak cpp:239-286).
+  * a **rank-select map** (RankMap) for k > 30: a 32-bit-word presence
+    bitmap with interleaved prefix popcounts plus a pids-in-hash-order
+    array — 1.5-2 GB at k=32 vs 16 GB direct, and a lookup is 2 adjacent
+    gathers + popcount + 1 gather (vs log2(K) dependent binary-search
+    probes, which profiling showed dominated the vote pass).
+Both are built **on device** with streaming scatter passes per <=2^22-bp
+reference chunk: hash every reference position (bit-sliced, same kernel as
+the scan), gather the member positions, filter by count-table hits, and
+resolve duplicate hashes by scatter-MAX of the peak id — equal to the
+reference's last-writer overwrite of peak_kmer[hash] in scan order (add_peak
+cpp:239-286), because writes happen in ascending position order and pids
+ascend with position, so the last writer is exactly the largest pid.
+Every resident array is 1-D BY DESIGN: TPU tiling T(8,128) pads any array
+with 1 < minor dim < 128 out to the 128-lane tile, so a [Bk, small] table is
+billed at up to 128/minor x its logical bytes (a round-2 [2^27, 4] int32
+bucket table compiled to a 64 GiB allocation on the 16 GiB chip).
 The sequential per-pair greedy genome selection (judge_base, cpp:118-159) runs
 as a lax.scan over read positions with a fixed G-slot genome register,
 vectorized over the pair batch.
@@ -35,6 +43,7 @@ import jax
 import numpy as np
 
 from localhgt_tpu.ops import encode
+from localhgt_tpu.utils import layout
 
 
 @dataclass
@@ -46,15 +55,40 @@ class PeakSet:
     sorted_hash: np.ndarray  # uint32 [K] peak k-mer hashes (sorted)
     sorted_peak: np.ndarray  # int32 [K] peak id per hash
     direct_map: object = None  # device int32 [2^k] hash -> peak id, or None
-    # two-choice bucket hash table, FUSED rows int32 [Bk, 2S] (cols 0..S-1 =
-    # keys bitcast, S..2S-1 = peak ids) for k > 30 where the 2^k direct map
-    # exceeds HBM: one 32-byte row gather per choice returns keys AND values
-    # (2 gathers/query total vs log2(K) dependent binary-search probes)
-    bucket: np.ndarray | None = None
+    rmap: "RankMap | None" = None  # k > 30: succinct hash -> peak id map
 
     @property
     def n(self) -> int:
         return len(self.contig) - 1
+
+
+@dataclass
+class RankMap:
+    """Succinct hash -> peak-id map for k > 30, where the 2^k direct map
+    exceeds HBM.
+
+    Two 1-D arrays (1-D by design — see the module docstring's tiling note):
+
+      wp:   int32 [2 * 2^(k-5)] interleaved (bit-word, exclusive-prefix
+            popcount) pairs. Word i covers hashes [32i, 32i+32): bit
+            (h & 31) of wp[2i] is set iff hash h is stored; wp[2i+1] is the
+            number of stored hashes < 32i. The pair sits at adjacent
+            addresses, so a lookup's two gathers land in one HBM line.
+      pids: int32 [>= Ku] peak id of each stored hash, ascending hash order.
+
+    Lookup (rank_lookup): i = h >> 5; present = wp[2i] >> (h & 31) & 1;
+    rank = wp[2i+1] + popcount(wp[2i] & ((1 << (h & 31)) - 1));
+    pid = present ? pids[rank] : 0.  Misses clamp the pids gather to row 0,
+    which stays cache-resident — so the effective random HBM traffic per
+    query is ~one line, the same as the k <= 30 direct map.
+
+    Duplicate (hash, pid) pairs in the build stream resolve by scatter-MAX
+    of the pid — equal to the reference's last-writer overwrite (add_peak
+    cpp:239-286; see module docstring)."""
+
+    wp: object    # int32 [2*W] (device or np)
+    pids: object  # int32 [>= Ku]
+    k: int = 0
 
 
 def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSet:
@@ -68,9 +102,10 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
             device gather so the multi-GB tables never leave HBM.
         masks: hash masks.
 
-    The hash->peak map keeps the *last* writer for duplicate hashes, matching
-    the reference's overwrite of peak_kmer[hash] in scan order (add_peak,
-    cpp:239-286).
+    Duplicate hashes resolve to the MAX peak id, matching the reference's
+    overwrite of peak_kmer[hash] in scan order (add_peak, cpp:239-286):
+    writes ascend in position and pids ascend with position, so the last
+    writer is the largest pid (see RankMap).
     """
     contigs = [0]
     positions = [0]
@@ -104,12 +139,7 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
     if all_hashes:
         hs = np.concatenate(all_hashes)
         ps = np.concatenate(all_peaks)
-        # keep last writer per hash (stable sort by hash; last index wins)
-        order = np.argsort(hs, kind="stable")
-        hs, ps = hs[order], ps[order]
-        last = np.ones(len(hs), bool)
-        last[:-1] = hs[1:] != hs[:-1]
-        hs, ps = hs[last], ps[last]
+        hs, ps = _dedupe_max_np(hs, ps)
     else:
         hs = np.zeros(0, np.uint32)
         ps = np.zeros(0, np.int32)
@@ -118,284 +148,224 @@ def build_peakset(per_contig, contig_codes_fn, count_lookup, masks, k) -> PeakSe
         pos=np.asarray(positions, np.int64),
         sorted_hash=hs,
         sorted_peak=ps,
-        bucket=(fuse_bucket(*build_bucket_table(hs, ps)[:2])
-                if len(hs) else None),
+        rmap=build_rankmap_host(hs, ps, k),
     )
 
 
 MAX_DIRECT_MAP_BYTES = 4 << 30  # int32 [2^k] fits beside the count tables
 
-# --- two-choice bucketized hash table (the k > 30 vote-lookup path) ---
-BUCKET_SLOTS = 4                # 4 x uint32 keys = one 16-byte row; smaller
-#                                 rows halve the widened gather temporaries
-#                                 (measured faster than 8-slot rows)
-_MIX_SEEDS = (0x9E3779B1, 0x85EBCA6B)   # per-choice xor seeds
+
+# --------------------------------------------------------------------------
+# RankMap build + lookup (the k > 30 vote-lookup path)
+# --------------------------------------------------------------------------
 
 
-def _mix_np(h: np.ndarray, seed: int, lg: int) -> np.ndarray:
-    """murmur3 fmix32 of (h ^ seed), truncated to lg bits.
-
-    Canonical hashes are min(fwd, rc) — biased low — so a single-multiply
-    Fibonacci mix clumps them and two-choice placement kept overflowing;
-    the full finalizer avalanches every input bit."""
-    x = h.astype(np.uint32) ^ np.uint32(seed)
-    x ^= x >> np.uint32(16)
-    x = (x.astype(np.uint64) * np.uint64(0x85EBCA6B)).astype(np.uint32)
-    x ^= x >> np.uint32(13)
-    x = (x.astype(np.uint64) * np.uint64(0xC2B2AE35)).astype(np.uint32)
-    x ^= x >> np.uint32(16)
-    return (x & np.uint32((1 << lg) - 1)).astype(np.int64)
+def _dedupe_max_np(hs: np.ndarray, ps: np.ndarray):
+    """Unique hashes ascending, each with its MAX pid (see RankMap)."""
+    order = np.lexsort((ps, hs))
+    hs, ps = hs[order], ps[order]
+    last = np.ones(len(hs), bool)
+    last[:-1] = hs[1:] != hs[:-1]
+    return hs[last], ps[last]
 
 
-def _mix_jnp(h, seed: int, lg: int):
-    """jnp mirror of _mix_np (uint32 wrap-around multiply is native)."""
+def _popcount_np(w: np.ndarray) -> np.ndarray:
+    """SWAR popcount of a uint32 array (exact: byte sums <= 32 < 256)."""
+    w = w.astype(np.uint32)
+    x = w - ((w >> np.uint32(1)) & np.uint32(0x55555555))
+    x = (x & np.uint32(0x33333333)) + ((x >> np.uint32(2)) & np.uint32(0x33333333))
+    x = (x + (x >> np.uint32(4))) & np.uint32(0x0F0F0F0F)
+    return ((x * np.uint32(0x01010101)) >> np.uint32(24)).astype(np.int64)
+
+
+def _pids_cap(n: int) -> int:
+    return max(128, -(-n // 128) * 128)
+
+
+def build_rankmap_host(hs: np.ndarray, ps: np.ndarray, k: int):
+    """Numpy mirror of build_rankmap_device for host-built peaksets (tests,
+    the sharded dedupe path). hs need not be unique; duplicates resolve to
+    max pid."""
+    if len(hs) == 0:
+        return None
+    hs, ps = _dedupe_max_np(hs.astype(np.uint32), ps.astype(np.int32))
+    W = 1 << max(k - 5, 0)
+    w = np.zeros(W, np.uint32)
+    h64 = hs.astype(np.uint64)
+    np.bitwise_or.at(
+        w, (h64 >> np.uint64(5)).astype(np.int64),
+        (np.uint64(1) << (h64 & np.uint64(31))).astype(np.uint32))
+    pc = _popcount_np(w)
+    pref = np.cumsum(pc) - pc
+    wp = np.empty(2 * W, np.int32)
+    wp[0::2] = w.view(np.int32)
+    wp[1::2] = pref.astype(np.int32)
+    pids = np.zeros(_pids_cap(len(ps)), np.int32)
+    pids[: len(ps)] = ps
+    layout.assert_lane_efficient(wp, "rankmap.wp")
+    layout.assert_lane_efficient(pids, "rankmap.pids")
+    return RankMap(wp=wp, pids=pids, k=k)
+
+
+def rank_lookup(wp, pids, h):
+    """Device lookup: pid per uint32 hash (0 where absent). See RankMap.
+    Traceable — call inside a jit; all gathers are from 1-D arrays."""
     import jax.numpy as jnp
 
-    x = h ^ jnp.uint32(seed)
-    x = x ^ (x >> jnp.uint32(16))
-    x = x * jnp.uint32(0x85EBCA6B)
-    x = x ^ (x >> jnp.uint32(13))
-    x = x * jnp.uint32(0xC2B2AE35)
-    x = x ^ (x >> jnp.uint32(16))
-    return (x & jnp.uint32((1 << lg) - 1)).astype(jnp.int32)
+    wi = (h >> jnp.uint32(5)).astype(jnp.int32)  # < 2^27 at k = 32
+    word = wp[2 * wi].astype(jnp.uint32)
+    pref = wp[2 * wi + 1]
+    bit = h & jnp.uint32(31)
+    present = ((word >> bit) & jnp.uint32(1)) == 1
+    below = jax.lax.population_count(
+        word & ((jnp.uint32(1) << bit) - jnp.uint32(1)))
+    # misses clamp to row 0 so their gathers stay cache-resident
+    rank = jnp.where(present, pref + below.astype(jnp.int32), 0)
+    return jnp.where(present, pids[jnp.minimum(rank, pids.shape[0] - 1)], 0)
 
 
-def fuse_bucket(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
-    """Interleave (keys, vals) into one int32 [Bk, 2S] row array so a
-    single row gather returns both."""
-    return np.concatenate(
-        [keys.view(np.int32), vals.astype(np.int32)], axis=1)
+SLAB_BITS = 30  # presence slabs of 2^30 hashes: one transient GB at a time
 
 
-def build_bucket_table(hs: np.ndarray, ps: np.ndarray,
-                       slots: int = BUCKET_SLOTS):
-    """Host build of the two-choice bucket table for K (hash, peak) pairs.
-
-    Each key lives in bucket mix1(h) or mix2(h); the vectorized greedy
-    places all but a Poisson tail, which sequential cuckoo evictions finish
-    (lookups stay exactly two bucket probes); the table doubles + retries
-    only on pathological failure. Returns (keys uint32 [Bk, slots],
-    vals int32 [Bk, slots], lg_bk) — callers pass fuse_bucket(keys, vals)
-    to the lookup. Empty slots hold 0xFFFFFFFF, which no valid canonical
-    hash query reaches (it is the invalid-kmer sentinel)."""
-    K = len(hs)
-    # load factor 0.5: two-choice greedy placement (no evictions) with the
-    # avalanche mix succeeds on the first attempt w.h.p.
-    lg = max(6, int(np.ceil(np.log2(max(K, 1) * 2 / slots + 1))))
-    hs = hs.astype(np.uint32)
-    ps = ps.astype(np.int32)
-    while True:
-        Bk = 1 << lg
-        keys = np.full((Bk, slots), 0xFFFFFFFF, np.uint32)
-        vals = np.zeros((Bk, slots), np.int32)
-        fill = np.zeros(Bk, np.int64)
-        remaining = np.arange(K, dtype=np.int64)
-        for const in _MIX_SEEDS:
-            if len(remaining) == 0:
-                break
-            b = _mix_np(hs[remaining], const, lg)
-            order = np.argsort(b, kind="stable")
-            bs = b[order]
-            pos_in = np.arange(len(bs), dtype=np.int64)
-            run_start = np.maximum.accumulate(
-                np.where(np.r_[True, bs[1:] != bs[:-1]], pos_in, 0))
-            rank = pos_in - run_start + fill[bs]
-            place = rank < slots
-            rows, cols = bs[place], rank[place]
-            src = remaining[order[place]]
-            keys[rows, cols] = hs[src]
-            vals[rows, cols] = ps[src]
-            fill += np.bincount(rows, minlength=Bk)
-            remaining = remaining[order[~place]]
-        # the vectorized greedy always leaves a small tail whose both
-        # buckets are full (Poisson: ~1e-4 of keys at load 0.5); place it
-        # with sequential random-walk cuckoo evictions, which keeps lookups
-        # at exactly two bucket probes
-        if len(remaining) and _cuckoo_tail(keys, vals, hs, ps, remaining,
-                                           lg, slots):
-            return keys, vals, lg
-        if len(remaining) == 0:
-            return keys, vals, lg
-        lg += 1  # pathological overflow: double and rebuild
-
-
-def _cuckoo_tail(keys, vals, hs, ps, remaining, lg: int, slots: int,
-                 max_steps: int = 500) -> bool:
-    rng = np.random.default_rng(0xC0FFEE)
-    for ridx in remaining:
-        cur_h, cur_p = int(hs[ridx]), int(ps[ridx])
-        placed = False
-        for step in range(max_steps):
-            for const in _MIX_SEEDS:
-                b = int(_mix_np(np.array([cur_h], np.uint32), const, lg)[0])
-                empty = np.flatnonzero(keys[b] == 0xFFFFFFFF)
-                if len(empty):
-                    keys[b, empty[0]] = cur_h
-                    vals[b, empty[0]] = cur_p
-                    placed = True
-                    break
-            if placed:
-                break
-            # both buckets full: evict a random occupant and walk on
-            const = _MIX_SEEDS[step % 2]
-            b = int(_mix_np(np.array([cur_h], np.uint32), const, lg)[0])
-            s = int(rng.integers(0, slots))
-            ev_h, ev_p = int(keys[b, s]), int(vals[b, s])
-            keys[b, s] = np.uint32(cur_h)
-            vals[b, s] = np.int32(cur_p)
-            cur_h, cur_p = ev_h, ev_p
-        if not placed:
-            return False
-    return True
-
-
-BUCKET_LOAD = 0.45  # target load: 2-round greedy leaves only a tiny tail
-
-
-@partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4),
-         static_argnames=("seed", "lg", "slots"))
-def _bucket_greedy_round(keys_f, vals_f, fill, h, p, seed: int, lg: int,
-                         slots: int):
-    """One vectorized placement round: keys sort by bucket, rank within the
-    run (offset by current fill), rank < slots places into the flat table.
-    Unplaced keys survive for the next round (other seed) — the device form
-    of the host build's greedy pass."""
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("base",))
+def _slab_add(bm8, keys, base: int):
+    """Mark presence of this slab's keys: one byte per hash, scatter-max(1)
+    — genuinely idempotent, so duplicate keys (within or across batches)
+    and repeat passes are all harmless. A packed bit-per-hash scatter is
+    NOT expressible this way: .at[].max of single-bit bytes loses bits
+    placed by other passes (max != or), and XLA scatter indices are int32,
+    which cannot address 2^32 single-bit/byte cells — hence per-hash bytes,
+    sliced into <= 2^30-hash slabs."""
     import jax.numpy as jnp
 
     SEN = jnp.uint32(0xFFFFFFFF)
-    Bk = jnp.int32(1 << lg)
-    alive = h != SEN
-    b = jnp.where(alive, _mix_jnp(h, seed, lg), Bk)
-    bs, hs_s, ps_s = jax.lax.sort((b, h, p), num_keys=1, is_stable=True)
-    n = bs.shape[0]
-    pos = jnp.arange(n, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
-    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0))
-    rank = pos - run_start + fill[jnp.minimum(bs, Bk)]
-    place = (rank < slots) & (bs < Bk)
-    oob = jnp.int32(keys_f.shape[0])
-    flat = jnp.where(place, bs * slots + rank, oob)
-    keys_f = keys_f.at[flat].set(hs_s, mode="drop")
-    vals_f = vals_f.at[flat].set(ps_s, mode="drop")
-    fill = fill.at[jnp.where(place, bs, Bk)].add(1, mode="drop")
-    h_new = jnp.where(place, SEN, hs_s)
-    p_new = jnp.where(place, 0, ps_s)
-    return keys_f, vals_f, fill, h_new, p_new
+    d = keys - jnp.uint32(base)  # wraps out-of-slab keys to >= slab size
+    live = (keys != SEN) & (d < jnp.uint32(bm8.shape[0]))
+    idx = jnp.where(live, d.astype(jnp.int32), jnp.int32(bm8.shape[0]))
+    return bm8.at[idx].max(jnp.where(live, jnp.uint8(1), jnp.uint8(0)),
+                           mode="drop")
 
 
-@partial(jax.jit, donate_argnums=(0, 1),
-         static_argnames=("lg", "slots"))
-def _bucket_evict_round(keys_f, vals_f, th, tp, seed, salt,
-                        lg: int, slots: int):
-    """One vectorized cuckoo round for the tail: per live key, probe the
-    seed's bucket; place into an empty slot if any, else evict a
-    hash-derived slot's occupant (which joins the tail). One winner per
-    bucket per round (first after sort); the rest defer."""
+@jax.jit
+def _pack_slab(bm8):
+    """Per-hash presence bytes -> (words uint32 [Ws], local exclusive
+    prefix int32 [Ws], slab popcount). Strided 1-D slices only — no
+    [W, small] intermediates (the tiling trap)."""
+    import jax.numpy as jnp
+
+    w = jnp.zeros(bm8.shape[0] // 32, jnp.uint32)
+    for j in range(32):
+        w = w | (bm8[j::32].astype(jnp.uint32) << j)
+    pc = jax.lax.population_count(w).astype(jnp.int32)
+    pref = jnp.cumsum(pc) - pc
+    return w, pref, pref[-1] + pc[-1]
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("wbase",))
+def _assemble_wp(wp, w, pref_local, carry, wbase: int):
+    """Write one slab's (word, global prefix) pairs into the interleaved
+    wp at word offset `wbase`; `carry` is the popcount of all prior
+    slabs."""
+    import jax.numpy as jnp
+
+    Ws = w.shape[0]
+    lo = 2 * wbase
+    wp = wp.at[lo : lo + 2 * Ws : 2].set(w.astype(jnp.int32))
+    wp = wp.at[lo + 1 : lo + 2 * Ws : 2].set(pref_local + carry)
+    return wp
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scatter_pids(pids_arr, wp, keys, vals):
+    """Scatter-max each live (key, pid) pair into pids_arr[rank(key)].
+    Every live key was added to the bitmap first, so presence is
+    guaranteed."""
     import jax.numpy as jnp
 
     SEN = jnp.uint32(0xFFFFFFFF)
-    Bk = jnp.int32(1 << lg)
-    alive = th != SEN
-    b = jnp.where(alive, _mix_jnp(th, seed, lg), Bk)
-    bs, hs_s, ps_s = jax.lax.sort((b, th, tp), num_keys=1, is_stable=True)
-    first = jnp.concatenate([jnp.ones(1, bool), bs[1:] != bs[:-1]])
-    win = first & (bs < Bk)
-    base = jnp.minimum(bs, Bk - 1) * slots
-    rowk = keys_f[base[:, None] + jnp.arange(slots)[None, :]]  # [T, slots]
-    empty = rowk == SEN
-    has_empty = jnp.any(empty, axis=1)
-    eslot = jnp.argmax(empty, axis=1).astype(jnp.int32)
-    rslot = (_mix_jnp(hs_s, salt, 30) & jnp.int32(slots - 1))
-    slot = jnp.where(has_empty, eslot, rslot)
-    oob = jnp.int32(keys_f.shape[0])
-    flat = jnp.where(win, base + slot, oob)
-    ev_k = jnp.where(win & ~has_empty,
-                     keys_f.at[jnp.minimum(flat, oob - 1)].get(), SEN)
-    ev_v = jnp.where(win & ~has_empty,
-                     vals_f.at[jnp.minimum(flat, oob - 1)].get(), 0)
-    keys_f = keys_f.at[flat].set(hs_s, mode="drop")
-    vals_f = vals_f.at[flat].set(ps_s, mode="drop")
-    th_new = jnp.where(win, ev_k, hs_s)
-    tp_new = jnp.where(win, ev_v, ps_s)
-    return keys_f, vals_f, th_new, tp_new
+    live = keys != SEN
+    wi = (keys >> jnp.uint32(5)).astype(jnp.int32)
+    wi = jnp.minimum(wi, wp.shape[0] // 2 - 1)  # sentinel rows: any in-range
+    word = wp[2 * wi].astype(jnp.uint32)
+    pref = wp[2 * wi + 1]
+    bit = keys & jnp.uint32(31)
+    below = jax.lax.population_count(
+        word & ((jnp.uint32(1) << bit) - jnp.uint32(1)))
+    rank = pref + below.astype(jnp.int32)
+    oob = jnp.int32(pids_arr.shape[0])
+    idx = jnp.where(live, rank, oob)
+    return pids_arr.at[idx].max(jnp.where(live, vals, 0), mode="drop")
 
 
-@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("slots",))
-def _fuse_bucket_dev(keys_f, vals_f, slots: int):
+PAIR_CACHE_LIMIT = 2 << 30  # keep the (hash, pid) stream on device below 2 GB
+
+
+def build_rankmap_device(pair_batches, k: int,
+                         cache_limit: int = PAIR_CACHE_LIMIT):
+    """RankMap built ON DEVICE from a (hash, pid) pair stream.
+
+    Args:
+        pair_batches: zero-arg callable returning an iterator of
+            (keys uint32 [T], vals int32 [T]) device arrays, sentinel
+            (0xFFFFFFFF) rows allowed. The batches are kept device-resident
+            across passes while they fit `cache_limit`; otherwise the
+            callable is re-invoked per pass (the member stream regenerates
+            from the reference codes, which is cheaper than holding GBs of
+            HBM).
+
+    Streaming scatter passes only — no device-wide sort, and at most one
+    transient GB beyond the finished map: per 2^30-hash slab, a one-byte-
+    per-hash presence array fills by idempotent scatter-max(1) (see
+    _slab_add for why packed bits cannot scatter directly), packs into the
+    interleaved (word, prefix) array with a popcount carry across slabs;
+    a final pass scatter-maxes each pid at its key's rank. Returns a
+    RankMap, or None if the stream is empty.
+    """
     import jax.numpy as jnp
 
-    Bk = keys_f.shape[0] // slots
-    keys = jax.lax.bitcast_convert_type(keys_f.reshape(Bk, slots), jnp.int32)
-    return jnp.concatenate([keys, vals_f.reshape(Bk, slots)], axis=1)
+    cached = []
+    cache_bytes = 0
+    exhausted = False
 
+    def replay():
+        nonlocal cached, cache_bytes, exhausted
+        if exhausted and cached is not None:
+            yield from cached
+            return
+        for kv in pair_batches():
+            if not exhausted and cached is not None:
+                cached.append(kv)
+                cache_bytes += kv[0].size * 8
+                if cache_bytes > cache_limit:
+                    cached = None
+            yield kv
+        exhausted = True
 
-@partial(jax.jit, donate_argnums=(0, 1))
-def _dedupe_chunk(h, p):
-    """Sort one stream chunk by key (stable, so stream order survives within
-    equal-key runs) and sentinel-mask every non-last duplicate. The last
-    writer carries the largest peak id (pids are assigned position-major),
-    which is exactly what the max-probing lookup needs — so dropping the
-    earlier duplicates changes nothing semantically and saves slots."""
-    import jax.numpy as jnp
-
-    SEN = jnp.uint32(0xFFFFFFFF)
-    hs, ps = jax.lax.sort((h, p), num_keys=1, is_stable=True)
-    last = jnp.concatenate([hs[1:] != hs[:-1], jnp.ones(1, bool)])
-    return jnp.where(last, hs, SEN), jnp.where(last, ps, 0)
-
-
-@partial(jax.jit, donate_argnums=(0, 1))
-def _compact_tail(h, p):
-    """Sort live keys to the front (sentinels sort last as 0xFFFFFFFF)."""
-    import jax.numpy as jnp
-
-    return jax.lax.sort((h, p), num_keys=1, is_stable=True)
-
-
-def build_bucket_device(keys_dev, vals_dev, n_live: int,
-                        slots: int = BUCKET_SLOTS):
-    """Two-choice bucket table built ON DEVICE from a device-resident
-    (hash, pid) pair stream (sentinel rows allowed): two greedy placement
-    rounds (one per seed), then vectorized cuckoo rounds on the compacted
-    tail. Returns the fused [Bk, 2*slots] int32 device table (the same
-    layout `fuse_bucket` produces on host).
-
-    The member stream at UHGG scale is hundreds of MB — building on device
-    avoids shipping it over the host link twice (out for the build, back
-    for the table)."""
-    import jax.numpy as jnp
-
-    lg = max(6, int(np.ceil(np.log2(max(n_live, 1) / slots / BUCKET_LOAD))))
-    while True:
-        nflat = (1 << lg) * slots
-        keys_f = jnp.full(nflat, 0xFFFFFFFF, jnp.uint32)
-        vals_f = jnp.zeros(nflat, jnp.int32)
-        fill = jnp.zeros((1 << lg) + 1, jnp.int32)
-        h, p = keys_dev, vals_dev
-        for seed in _MIX_SEEDS:
-            keys_f, vals_f, fill, h, p = _bucket_greedy_round(
-                keys_f, vals_f, fill, h, p, seed=seed, lg=lg, slots=slots)
-        remaining = int(jnp.sum(h != jnp.uint32(0xFFFFFFFF)))
-        if remaining:
-            # compact the tail into a small fixed buffer, then cuckoo
-            h, p = _compact_tail(h, p)
-            cap = max(1024, 1 << (remaining - 1).bit_length())
-            th, tp = h[: min(cap, h.shape[0])], p[: min(cap, p.shape[0])]
-            ok = False
-            for rnd in range(200):
-                th, tp = _compact_tail(th, tp)
-                left = int(jnp.sum(th != jnp.uint32(0xFFFFFFFF)))
-                if left == 0:
-                    ok = True
-                    break
-                keys_f, vals_f, th, tp = _bucket_evict_round(
-                    keys_f, vals_f, th, tp,
-                    jnp.uint32(_MIX_SEEDS[rnd % 2]),
-                    jnp.uint32(0xABCD01 + rnd), lg=lg, slots=slots)
-            if not ok:
-                lg += 1  # pathological overflow: double and rebuild
-                continue
-        return _fuse_bucket_dev(keys_f, vals_f, slots)
+    W_total = 1 << max(k - 5, 0)
+    wp = jnp.zeros(2 * W_total, jnp.int32)
+    slab = 1 << min(k, SLAB_BITS)
+    carry = 0
+    for s in range(max(1, 1 << max(k - SLAB_BITS, 0))):
+        bm8 = jnp.zeros(slab, jnp.uint8)
+        for kk, vv in replay():
+            bm8 = _slab_add(bm8, kk, base=s * slab)
+        w, pref, pc_total = _pack_slab(bm8)
+        del bm8
+        wp = _assemble_wp(wp, w, pref, jnp.int32(carry),
+                          wbase=s * (slab // 32))
+        carry += int(pc_total)
+    ku = carry
+    if ku == 0:
+        return None
+    if ku >= 1 << 31:  # int32 prefix overflow
+        raise ValueError("rank map exceeds 2^31 stored k-mers; raise "
+                         "--max_peak filtering or use k <= 30")
+    pids = jnp.zeros(_pids_cap(ku), jnp.int32)
+    for kk, vv in replay():
+        pids = _scatter_pids(pids, wp, kk, vv)
+    layout.assert_lane_efficient(wp, "rankmap.wp")
+    layout.assert_lane_efficient(pids, "rankmap.pids")
+    return RankMap(wp=wp, pids=pids, k=k)
 
 
 def _flatten_members(per_contig, contigs, k):
@@ -431,8 +401,9 @@ def _build_map_chunk(direct_map, tables, codes_flat, gpos, pids, masks,
                      k: int):
     """One device dispatch: hash every reference position of this chunk,
     gather the peak-member hashes, keep those present in the count tables
-    (count > 0, build_kmer_table cpp:246-270), dedupe duplicate hashes
-    keeping the last writer, scatter into the direct map.
+    (count > 0, build_kmer_table cpp:246-270), scatter-MAX the peak ids into
+    the direct map (== the reference's last-writer overwrite; see RankMap —
+    max composes across chunks, so chunk order is irrelevant too).
 
     Padding rows carry pid 0 and are masked out; valid pids are >= 1."""
     import jax.numpy as jnp
@@ -447,21 +418,12 @@ def _build_map_chunk(direct_map, tables, codes_flat, gpos, pids, masks,
     for i, t in enumerate(tables):
         cnt = count_mod.table_lookup(t, hm[i])
         ok = ok.at[i].set(ok[i] & (cnt > 0))
-    C, n = hm.shape
-    SEN = jnp.uint32(0xFFFFFFFF)
-    # position-major / coder-inner flatten = the reference's peak_kmer
-    # overwrite order (add_peak cpp:239-286); keeps dedupe winners identical
-    # across build_direct_map / build_hash_peakset / the sharded build
-    keys = jnp.where(ok, hm, SEN).T.reshape(-1)
-    vals = jnp.broadcast_to(pids[:, None], (n, C)).reshape(-1)
-    keys, vals = jax.lax.sort((keys, vals), num_keys=1, is_stable=True)
-    run_last = jnp.concatenate(
-        [keys[1:] != keys[:-1], jnp.ones(1, bool)]
-    ) & (keys != SEN)
     # valid hashes < 2^k <= 2^30 fit int32; masked rows go to a positive
     # out-of-bounds slot (negative indices hit a slow TPU scatter path)
-    idx = jnp.where(run_last, keys.astype(jnp.int32), jnp.int32(1 << k))
-    return direct_map.at[idx].set(vals, mode="drop")
+    idx = jnp.where(ok, hm.astype(jnp.int32), jnp.int32(1 << k)).reshape(-1)
+    vals = jnp.broadcast_to(pids[None, :], hm.shape).reshape(-1)
+    vals = jnp.where(ok.reshape(-1), vals, 0)
+    return direct_map.at[idx].max(vals, mode="drop")
 
 
 MAP_BUILD_CHUNK = 1 << 22  # positions hashed per dispatch ([C, chunk] int32)
@@ -518,10 +480,11 @@ def _hash_ref_chunk(codes_flat, masks, k: int):
 def _member_batch(h, v, tables, gpos, pids):
     """Gather one fixed-size member sub-batch from a hashed chunk, filter by
     count-table presence (build_kmer_table cpp:246-270); returns (keys,
-    vals) [n*C] with dropped rows as the SENTINEL key, flattened
-    position-major / coder-inner — the reference's peak_kmer overwrite
-    order (add_peak cpp:239-286). Fixed shape: one compile for the whole
-    build regardless of per-chunk member counts."""
+    vals) [C*n] with dropped rows as the SENTINEL key. Stream order is
+    irrelevant — duplicates resolve by scatter-MAX (see RankMap) — so the
+    flatten is coder-major, avoiding a [n, C] transpose whose small minor
+    dim would lane-pad. Fixed shape: one compile for the whole build
+    regardless of per-chunk member counts."""
     import jax.numpy as jnp
 
     from localhgt_tpu.ops import count as count_mod
@@ -532,8 +495,8 @@ def _member_batch(h, v, tables, gpos, pids):
         cnt = count_mod.table_lookup(t, hm[i])
         ok = ok.at[i].set(ok[i] & (cnt > 0))
     SEN = jnp.uint32(0xFFFFFFFF)
-    keys = jnp.where(ok, hm, SEN).T.reshape(-1)           # [n*C]
-    vals = jnp.broadcast_to(pids[:, None], hm.T.shape).reshape(-1)
+    keys = jnp.where(ok, hm, SEN).reshape(-1)             # [C*n]
+    vals = jnp.broadcast_to(pids[None, :], hm.shape).reshape(-1)
     vals = jnp.where(keys == SEN, 0, vals)
     return keys, vals
 
@@ -541,22 +504,19 @@ def _member_batch(h, v, tables, gpos, pids):
 MEMBER_SUB = 1 << 20  # member positions gathered per fixed-shape dispatch
 
 
-def _collect_member_pairs(per_contig, contigs, tables, masks, k: int):
-    """Device-resident (hash, peak-id) pair stream for all peak members:
-    hash each reference chunk once, gather members in fixed-shape
-    sub-batches. Returns (keys_dev uint32 [T], vals_dev int32 [T], n_live)
-    with SENTINEL rows interleaved (pair order = position-major).
+def _member_pair_batches(gpos, pids, contigs, tables, masks_j, k: int):
+    """Yield the device-resident (hash, peak-id) pair stream for all peak
+    members: hash each reference chunk once, gather members in fixed-shape
+    sub-batches. SENTINEL rows interleave with live pairs.
 
-    No global dedupe: duplicate hashes keep every (hash, pid) entry, and
-    lookups take the MAX pid among matches — identical to the reference's
-    last-writer overwrite (add_peak cpp:239-286) because pids are assigned
-    in position-major order, so the last writer is exactly the largest pid."""
+    No dedupe: duplicate hashes keep every (hash, pid) entry, and the map
+    builds resolve them by scatter-MAX of the pid — identical to the
+    reference's last-writer overwrite (add_peak cpp:239-286) because pids
+    are assigned in position-major order, so the last writer is exactly the
+    largest pid."""
     import jax.numpy as jnp
 
-    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
     total = len(contigs.codes)
-    masks_j = jnp.asarray(masks)
-    keys_parts, vals_parts = [], []
     # gpos ascending (contigs in order, members ascending): slice by range
     for base in range(0, max(total, 1), MAP_BUILD_CHUNK):
         lo = int(np.searchsorted(gpos, base))
@@ -573,67 +533,39 @@ def _collect_member_pairs(per_contig, contigs, tables, masks, k: int):
             gp_p[: e - s] = gpos[s:e] - base
             pd_p = np.zeros(MEMBER_SUB, np.int32)
             pd_p[: e - s] = pids[s:e]
-            kk, vv = _member_batch(h, v, tables, jnp.asarray(gp_p),
-                                   jnp.asarray(pd_p))
-            keys_parts.append(kk)
-            vals_parts.append(vv)
-    if not keys_parts:
-        return pcontig, ppos, None, None, 0
-    keys_dev = jnp.concatenate(keys_parts)
-    vals_dev = jnp.concatenate(vals_parts)
-    n_live = int(jnp.sum(keys_dev != jnp.uint32(0xFFFFFFFF)))
-    return pcontig, ppos, keys_dev, vals_dev, n_live
+            yield _member_batch(h, v, tables, jnp.asarray(gp_p),
+                                jnp.asarray(pd_p))
 
 
 def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
     """Device-first peakset build for k > 30 (where the 2^k direct map does
-    not fit HBM): member hashing, count filtering AND the two-choice bucket
-    build all run on device — the member stream (hundreds of MB at
-    reference scale) never crosses the tunnel, and the finished bucket
-    table is already HBM-resident for the vote."""
-    pcontig, ppos, keys_dev, vals_dev, n_live = _collect_member_pairs(
-        per_contig, contigs, tables, masks, k)
-    bucket = None
-    if n_live:
-        bucket = build_bucket_device(keys_dev, vals_dev, n_live)
+    not fit HBM): member hashing, count filtering AND the rank-map build all
+    run on device — the member stream (GBs at reference scale) never
+    crosses the tunnel, and the finished map is already HBM-resident for
+    the vote."""
+    import jax.numpy as jnp
+
+    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
+    masks_j = jnp.asarray(masks)
+    rmap = build_rankmap_device(
+        lambda: _member_pair_batches(gpos, pids, contigs, tables, masks_j, k),
+        k)
     return PeakSet(
         contig=pcontig, pos=ppos,
         sorted_hash=np.zeros(0, np.uint32), sorted_peak=np.zeros(0, np.int32),
-        bucket=bucket,
+        rmap=rmap,
     )
-
-
-@partial(jax.jit, static_argnames=("k",))
-def build_peak_bitmap(sorted_hash, k: int):
-    """One-bit-per-hash presence filter (uint8[2^(k-3)], 512 MB at k=32)
-    for the binary-search vote fallback: ~99.6% of queries miss, and a
-    single bitmap gather resolves them with far better HBM locality than
-    log2(K) dependent binary-search probes. Built on device with 8
-    scatter-max passes (one per bit position — indices unique per pass)."""
-    import jax.numpy as jnp
-
-    bm = jnp.zeros(1 << max(k - 3, 3), jnp.uint8)
-    byte_idx = (sorted_hash >> jnp.uint32(3)).astype(jnp.int32)
-    bit = (sorted_hash & jnp.uint32(7)).astype(jnp.uint8)
-    oob = jnp.int32(bm.shape[0])
-    for b in range(8):
-        m = bit == b
-        idx = jnp.where(m, byte_idx, oob)
-        bm = bm.at[idx].max(
-            jnp.where(m, jnp.uint8(1 << b), jnp.uint8(0)), mode="drop")
-    return bm
 
 
 @partial(jax.jit,
          static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_bitmap", "use_bucket"))
+                          "use_rank"))
 def split_vote_batch(
     peak_filter,
     codes1, len1, codes2, len2, accept,
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
-    bitmap=None, use_bitmap: bool = False,
-    bucket_tab=None, use_bucket: bool = False,
+    rank_wp=None, rank_pids=None, use_rank: bool = False,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -645,16 +577,12 @@ def split_vote_batch(
     """
     import jax.numpy as jnp
 
-    B = codes1.shape[0]
-    K = sorted_hash.shape[0]
-
     def candidates(codes, lengths):
         h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
         L = codes.shape[-1]
         inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
         return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
-                                  bitmap, use_map, use_bitmap,
-                                  bucket_tab, use_bucket)
+                                  use_map, rank_wp, rank_pids, use_rank)
 
     pk1 = candidates(codes1, len1)
     pk2 = candidates(codes2, len2)
@@ -662,15 +590,15 @@ def split_vote_batch(
                       min_base_num, n_slots)
 
 
-def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
-                       use_map: bool, use_bitmap: bool,
-                       bucket_tab=None, use_bucket: bool = False):
-    """Peak-candidate lookup from canonical hashes — direct map (k <= 30),
-    two-choice bucket table (k > 30 default), bitmap-prefiltered binary
-    search, or plain binary search.
+def _candidates_from_h(h, v, sorted_hash, sorted_peak,
+                       use_map: bool,
+                       rank_wp=None, rank_pids=None, use_rank: bool = False):
+    """Peak-candidate lookup from canonical hashes — direct map (k <= 30
+    default), rank-select map (k > 30 default), or plain binary search (the
+    oracle fallback for host-built peaksets / tests).
 
     Hash 0 is excluded on every path (the degenerate all-zeros k-mer code;
-    the direct-map build drops it, so the search paths must too for the two
+    the direct-map build drops it, so the search paths must too for the
     lookup modes to agree — read_index cpp:936-941 treats it as unusable)."""
     import jax.numpy as jnp
 
@@ -679,30 +607,8 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
         return jnp.where(v[None, :, :] & (h != 0), pk, 0)
     K = sorted_hash.shape[0]
     ok0 = v[None, :, :] & (h != 0)
-    if use_bucket and bucket_tab is not None:
-        lg = int(bucket_tab.shape[0]).bit_length() - 1
-        S = bucket_tab.shape[1] // 2
-        pk = jnp.zeros(h.shape, jnp.int32)
-        # per-coder rows keep the [.., 2S]-widened gather temporaries small
-        for c in range(h.shape[0]):
-            hc = h[c]
-            hi = hc.astype(jnp.int32)  # bitcast view for key equality
-            found = jnp.zeros(hc.shape, jnp.int32)
-            for const in _MIX_SEEDS:
-                row = bucket_tab[_mix_jnp(hc, const, lg)]  # one 32B gather
-                m = row[..., :S] == hi[..., None]
-                found = jnp.maximum(found, jnp.max(
-                    jnp.where(m, row[..., S:], 0), axis=-1))
-            pk = pk.at[c].set(found)
-        return jnp.where(ok0, pk, 0)
-    if use_bitmap and K:
-        byte = bitmap[(h >> jnp.uint32(3)).astype(jnp.int32)]
-        maybe = ((byte >> (h & jnp.uint32(7)).astype(jnp.uint8))
-                 & jnp.uint8(1)) == 1
-        hq = jnp.where(maybe, h, sorted_hash[0])
-        idx = jnp.clip(jnp.searchsorted(sorted_hash, hq), 0, K - 1)
-        found = (sorted_hash[idx] == hq) & maybe
-        return jnp.where(found & ok0, sorted_peak[idx], 0)
+    if use_rank and rank_wp is not None:
+        return jnp.where(ok0, rank_lookup(rank_wp, rank_pids, h), 0)
     idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))
     found = (sorted_hash[idx] == h) if K else jnp.zeros_like(h, bool)
     pk = sorted_peak[idx] if K else jnp.zeros(h.shape, jnp.int32)
@@ -711,25 +617,22 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak, bitmap,
 
 @partial(jax.jit,
          static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_bitmap", "use_bucket"))
+                          "use_rank"))
 def split_vote_from_hashes(
     peak_filter, h1, v1, h2, v2, accept, sorted_hash, sorted_peak,
     peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = True,
-    bitmap=None, use_bitmap: bool = False,
-    bucket_tab=None, use_bucket: bool = False,
+    rank_wp=None, rank_pids=None, use_rank: bool = False,
 ):
     """split_vote_batch fed with cached canonical hashes from the counting
     pass (stage A) — skips the second FASTQ read, host->device transfer and
     re-hash entirely. h: uint32 [C, B, L]; v: bool [B, L] (validity & k-mer
     window mask, before the down-sampling accept gate). With use_map,
     `sorted_hash` is the direct map."""
-    c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak, bitmap,
-                            use_map, use_bitmap,
-                            bucket_tab, use_bucket)
-    c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak, bitmap,
-                            use_map, use_bitmap,
-                            bucket_tab, use_bucket)
+    c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak,
+                            use_map, rank_wp, rank_pids, use_rank)
+    c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak,
+                            use_map, rank_wp, rank_pids, use_rank)
     return _vote_core(peak_filter, c1, c2, peak_contig, accept,
                       min_base_num, n_slots)
 

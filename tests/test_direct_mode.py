@@ -30,5 +30,25 @@ def test_direct_mode_finds_breakpoints(tmp_path):
     ]
     score = evaluate.score_bkps(evaluate.truth_to_bkps(truth), called)
     print("direct-mode score:", score)
-    assert score.recall >= 0.9
-    assert score.fdr <= 0.25
+    # tightened after the bwa-model mapq landed (r2 ask #6): the fixture
+    # scores 1.0/0.0 exactly; leave minimal slack for future fixture drift
+    assert score.recall >= 0.99
+    assert score.fdr <= 0.05
+
+
+def test_mapq_calibration_properties(tmp_path):
+    """The bwa-model mapq must pass ~all unique-region reads at the
+    mapq >= 20 gate and fail ~all reads from an exactly-duplicated region
+    (bwa's sub == score -> mapq 0 case). Full report:
+    reports/mapq_calibration.json (tools/mapq_calibration.py)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import mapq_calibration
+
+    rep = mapq_calibration.run(str(tmp_path))
+    assert rep["n_repeat"] > 50
+    assert rep["unique_pass_rate"] >= 0.99, rep
+    assert rep["repeat_pass_rate"] <= 0.05, rep

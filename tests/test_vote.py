@@ -187,14 +187,13 @@ def test_pallas_vote_state_matches_scan():
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_pal))
 
 
-def test_bucket_table_matches_searchsorted():
-    """The two-choice bucket-table candidates path (the k > 30 default)
-    must vote identically to the sorted-table binary-search path."""
+def test_rankmap_matches_searchsorted():
+    """The rank-select-map candidates path (the k > 30 default) must vote
+    identically to the sorted-table binary-search path."""
     import jax.numpy as jnp
 
     gA, gB, masks, pset, k = _mk()
-    keys, vals, _ = pm.build_bucket_table(pset.sorted_hash, pset.sorted_peak)
-    tab = pm.fuse_bucket(keys, vals)
+    rmap = pm.build_rankmap_host(pset.sorted_hash, pset.sorted_peak, k)
     chimera = np.concatenate([gA[120:180], gB[120:180]])[None, :]
     mate = gB[110:170][None, :]
     B = 1
@@ -210,33 +209,72 @@ def test_bucket_table_matches_searchsorted():
     ref = pm.split_vote_batch(pf0, *args, sh, sp, pc, k=k)
     got = pm.split_vote_batch(
         pf0, *args, sh, sp, pc, k=k,
-        bucket_tab=jnp.asarray(tab), use_bucket=True)
+        rank_wp=jnp.asarray(rmap.wp), rank_pids=jnp.asarray(rmap.pids),
+        use_rank=True)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
-def test_bucket_table_build_handles_collisions():
-    """Adversarial build: many keys forced into few buckets must still all
-    round-trip (the table doubles until two-choice placement succeeds)."""
+def test_rankmap_roundtrip_and_misses():
+    """Every stored key must return its pid; absent keys (including
+    neighbors of stored keys) must return 0; duplicate (hash, pid) pairs
+    must resolve to the MAX pid (the reference's last-writer overwrite)."""
+    import jax.numpy as jnp
+
+    k = 20
     rng = np.random.default_rng(5)
-    hs = np.unique(rng.integers(1, 1 << 20, 5000).astype(np.uint32))
+    hs = np.unique(rng.integers(1, 1 << k, 5000).astype(np.uint32))
     ps = np.arange(1, len(hs) + 1, dtype=np.int32)
-    keys, vals, lg = pm.build_bucket_table(hs, ps, slots=4)
-    lut = {}
-    for r in range(keys.shape[0]):
-        for s in range(keys.shape[1]):
-            if keys[r, s] != 0xFFFFFFFF:
-                lut[int(keys[r, s])] = int(vals[r, s])
-    assert len(lut) == len(hs)
-    for h, p in zip(hs.tolist(), ps.tolist()):
-        assert lut[h] == p
+    # inject duplicates with lower pids — the max must win
+    dup = rng.choice(len(hs), 500, replace=False)
+    hs_all = np.concatenate([hs[dup], hs])
+    ps_all = np.concatenate([np.zeros(500, np.int32) + 1, ps])
+    rmap = pm.build_rankmap_host(hs_all, ps_all, k)
+    got = np.asarray(pm.rank_lookup(jnp.asarray(rmap.wp),
+                                    jnp.asarray(rmap.pids),
+                                    jnp.asarray(hs)))
+    np.testing.assert_array_equal(got, np.maximum(ps, 0))
+    # absent neighbors miss
+    stored = set(hs.tolist())
+    probes = np.array([h for h in range(1, 4000) if h not in stored],
+                      np.uint32)
+    miss = np.asarray(pm.rank_lookup(jnp.asarray(rmap.wp),
+                                     jnp.asarray(rmap.pids),
+                                     jnp.asarray(probes)))
+    assert not miss.any()
+
+
+def test_rankmap_device_build_matches_host():
+    """The device streaming-scatter build (bitmap passes + pid scatter-max)
+    must equal the host sort-based build, including duplicate resolution
+    and sentinel rows, across multiple batches."""
+    import jax.numpy as jnp
+
+    k = 18
+    rng = np.random.default_rng(11)
+    SEN = np.uint32(0xFFFFFFFF)
+    batches = []
+    all_k, all_v = [], []
+    for i in range(3):
+        kk = rng.integers(1, 1 << k, 4096).astype(np.uint32)
+        vv = rng.integers(1, 1 << 20, 4096).astype(np.int32)
+        kk[rng.random(4096) < 0.3] = SEN  # interleaved sentinel rows
+        vv[kk == SEN] = 0
+        batches.append((jnp.asarray(kk), jnp.asarray(vv)))
+        all_k.append(kk[kk != SEN])
+        all_v.append(vv[kk != SEN])
+    rm_dev = pm.build_rankmap_device(lambda: iter(batches), k)
+    rm_host = pm.build_rankmap_host(np.concatenate(all_k),
+                                    np.concatenate(all_v), k)
+    np.testing.assert_array_equal(np.asarray(rm_dev.wp), rm_host.wp)
+    np.testing.assert_array_equal(np.asarray(rm_dev.pids), rm_host.pids)
 
 
 def test_build_hash_peakset_matches_host_build():
-    """Device-chunked (hash, peak) collection == the host oracle build."""
+    """Device-chunked (hash, peak) collection + rank-map build == the host
+    oracle build."""
     import jax.numpy as jnp
 
     from localhgt_tpu.io import fasta as fasta_mod
-    from localhgt_tpu.ops import count as count_mod
 
     k = 16
     rng = np.random.default_rng(5)
@@ -256,7 +294,7 @@ def test_build_hash_peakset_matches_host_build():
                    np.arange(120, 180, dtype=np.int64),
                    np.zeros(60, np.int32))]
     pset_dev = pm.build_hash_peakset(per_contig, contigs, tables, masks, k)
-    assert pset_dev.bucket is not None
+    assert pset_dev.rmap is not None
 
     def count_lookup(i, hashes):
         return np.asarray(tables[i]).reshape(-1)[hashes.astype(np.int64)]
@@ -264,25 +302,13 @@ def test_build_hash_peakset_matches_host_build():
     pset_host = pm.build_peakset(
         per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
         masks, k)
-    # the device build keeps duplicate (hash, pid) entries and resolves them
-    # at lookup time by max pid (== the reference's last-writer overwrite,
-    # since pids are position-major); so compare LOOKUPS, not raw tables
-    tab = np.asarray(pset_dev.bucket)
-    lg = int(tab.shape[0]).bit_length() - 1
-    S = tab.shape[1] // 2
-    got = np.zeros(len(pset_host.sorted_hash), np.int32)
-    for const in pm._MIX_SEEDS:
-        rows = tab[pm._mix_np(pset_host.sorted_hash, const, lg)]
-        m = rows[:, :S] == pset_host.sorted_hash[:, None].view(np.int32)
-        got = np.maximum(got, np.max(np.where(m, rows[:, S:], 0), axis=1))
+    np.testing.assert_array_equal(np.asarray(pset_dev.rmap.wp),
+                                  pset_host.rmap.wp)
+    np.testing.assert_array_equal(np.asarray(pset_dev.rmap.pids),
+                                  pset_host.rmap.pids)
+    # lookups of every stored hash return the host's (max-pid) winner
+    got = np.asarray(pm.rank_lookup(
+        jnp.asarray(np.asarray(pset_dev.rmap.wp)),
+        jnp.asarray(np.asarray(pset_dev.rmap.pids)),
+        jnp.asarray(pset_host.sorted_hash)))
     np.testing.assert_array_equal(got, pset_host.sorted_peak)
-    # and a miss stays a miss
-    missq = np.array([12345], np.uint32)
-    if missq[0] not in set(pset_host.sorted_hash.tolist()):
-        miss = np.zeros(1, np.int32)
-        for const in pm._MIX_SEEDS:
-            rows = tab[pm._mix_np(missq, const, lg)]
-            m = rows[:, :S] == missq[:, None].view(np.int32)
-            miss = np.maximum(miss, np.max(np.where(m, rows[:, S:], 0),
-                                           axis=1))
-        assert miss[0] == 0
