@@ -31,6 +31,11 @@ SCALES = {
     # name: (n_genomes, genome_len, hgt_num, depth, two-pass?)
     "species20": (20, 150_000, 10, 10, True),
     "big": (100, 1_000_000, 50, 5, False),
+    # scale proof (r2 VERDICT ask #3): >= 1 Gbp reference / >= 10M pairs —
+    # the headline workload's shape (multi-Gbp UHGG, 13M pairs at the 2 Gbp
+    # down-sample). One-pass; run as LHT_BENCH_SCALE=scale1g python bench.py,
+    # recorded in reports/SCALE_r3.json
+    "scale1g": (205, 5_000_000, 100, 3, False),
 }
 
 
@@ -129,6 +134,7 @@ def main():
         "stage_walls": metrics.stage_walls(),
     }
     rec.update(metrics.device_memory_stats())
+    rec.update(evaluate.resource_usage())  # host CPU time + max RSS
     rec.update(metrics.derived(n_pairs, 150, cfg.kmer.coder_num))
     print(json.dumps(rec))
 

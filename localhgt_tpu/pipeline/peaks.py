@@ -224,55 +224,55 @@ def rank_lookup(wp, pids, h):
     return jnp.where(present, pids[jnp.minimum(rank, pids.shape[0] - 1)], 0)
 
 
-SLAB_BITS = 30  # presence slabs of 2^30 hashes: one transient GB at a time
+@partial(jax.jit, donate_argnums=(0,))
+def _word_add(w, keys):
+    """OR the keys' presence bits into int32 bit-words, with scatter-ADD
+    made exact:
 
+    XLA scatter has no OR combiner, and .at[].max of single-bit values
+    loses bits placed by earlier batches (max != or) — the round-3 bug the
+    first bitmap build shipped with. But scatter-add IS an exact OR when
+    every added bit is provably not yet set: (1) sort+dedupe the batch, so
+    unique keys within it map to unique (word, bit) cells (the key <->
+    (word, bit) mapping is a bijection); (2) gather the current words and
+    add only bits still 0, which filters duplicates from earlier batches.
+    Distinct keys sharing a word add distinct bits — no carries.
 
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("base",))
-def _slab_add(bm8, keys, base: int):
-    """Mark presence of this slab's keys: one byte per hash, scatter-max(1)
-    — genuinely idempotent, so duplicate keys (within or across batches)
-    and repeat passes are all harmless. A packed bit-per-hash scatter is
-    NOT expressible this way: .at[].max of single-bit bytes loses bits
-    placed by other passes (max != or), and XLA scatter indices are int32,
-    which cannot address 2^32 single-bit/byte cells — hence per-hash bytes,
-    sliced into <= 2^30-hash slabs."""
+    One sort of the ~3M-key batch (the count stage sorts bigger batches
+    every step) + 1 gather + 1 scatter; replaces a byte-per-hash slab
+    design whose bit-packing step cost 16 s/GB on strided uint8 slices."""
     import jax.numpy as jnp
 
     SEN = jnp.uint32(0xFFFFFFFF)
-    d = keys - jnp.uint32(base)  # wraps out-of-slab keys to >= slab size
-    live = (keys != SEN) & (d < jnp.uint32(bm8.shape[0]))
-    idx = jnp.where(live, d.astype(jnp.int32), jnp.int32(bm8.shape[0]))
-    return bm8.at[idx].max(jnp.where(live, jnp.uint8(1), jnp.uint8(0)),
-                           mode="drop")
+    kk = jnp.sort(keys)
+    uniq = jnp.concatenate([jnp.ones(1, bool), kk[1:] != kk[:-1]]) \
+        & (kk != SEN)
+    wi = (kk >> jnp.uint32(5)).astype(jnp.int32)  # < 2^27 at k = 32
+    bit = kk & jnp.uint32(31)
+    cur = jax.lax.bitcast_convert_type(
+        w[jnp.where(uniq, wi, 0)], jnp.uint32)
+    absent = ((cur >> bit) & jnp.uint32(1)) == 0
+    add = uniq & absent
+    val = jax.lax.bitcast_convert_type(
+        jnp.where(add, jnp.uint32(1) << bit, jnp.uint32(0)), jnp.int32)
+    idx = jnp.where(add, wi, jnp.int32(w.shape[0]))
+    return w.at[idx].add(val, mode="drop")
 
 
 @jax.jit
-def _pack_slab(bm8):
-    """Per-hash presence bytes -> (words uint32 [Ws], local exclusive
-    prefix int32 [Ws], slab popcount). Strided 1-D slices only — no
-    [W, small] intermediates (the tiling trap)."""
+def _words_to_wp(w):
+    """Bit-words -> interleaved (word, exclusive-prefix-popcount) pairs +
+    total stored-key count. All 1-D."""
     import jax.numpy as jnp
 
-    w = jnp.zeros(bm8.shape[0] // 32, jnp.uint32)
-    for j in range(32):
-        w = w | (bm8[j::32].astype(jnp.uint32) << j)
-    pc = jax.lax.population_count(w).astype(jnp.int32)
+    pc = jax.lax.population_count(
+        jax.lax.bitcast_convert_type(w, jnp.uint32)).astype(jnp.int32)
     pref = jnp.cumsum(pc) - pc
-    return w, pref, pref[-1] + pc[-1]
-
-
-@partial(jax.jit, donate_argnums=(0,), static_argnames=("wbase",))
-def _assemble_wp(wp, w, pref_local, carry, wbase: int):
-    """Write one slab's (word, global prefix) pairs into the interleaved
-    wp at word offset `wbase`; `carry` is the popcount of all prior
-    slabs."""
-    import jax.numpy as jnp
-
-    Ws = w.shape[0]
-    lo = 2 * wbase
-    wp = wp.at[lo : lo + 2 * Ws : 2].set(w.astype(jnp.int32))
-    wp = wp.at[lo + 1 : lo + 2 * Ws : 2].set(pref_local + carry)
-    return wp
+    W = w.shape[0]
+    wp = jnp.zeros(2 * W, jnp.int32)
+    wp = wp.at[0::2].set(w)
+    wp = wp.at[1::2].set(pref)
+    return wp, pref[-1] + pc[-1]
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -313,13 +313,12 @@ def build_rankmap_device(pair_batches, k: int,
             from the reference codes, which is cheaper than holding GBs of
             HBM).
 
-    Streaming scatter passes only — no device-wide sort, and at most one
-    transient GB beyond the finished map: per 2^30-hash slab, a one-byte-
-    per-hash presence array fills by idempotent scatter-max(1) (see
-    _slab_add for why packed bits cannot scatter directly), packs into the
-    interleaved (word, prefix) array with a popcount carry across slabs;
-    a final pass scatter-maxes each pid at its key's rank. Returns a
-    RankMap, or None if the stream is empty.
+    Streaming scatter passes only — no device-wide sort (batches sort
+    individually, ~3M keys each) and no transient beyond the 2^(k-5)-word
+    bit array (512 MB at k=32): pass 1 ORs presence bits via the exact
+    add-if-absent scatter (_word_add), one popcount+cumsum turns them into
+    the interleaved (word, prefix) pairs, and pass 2 scatter-maxes each pid
+    at its key's rank. Returns a RankMap, or None if the stream is empty.
     """
     import jax.numpy as jnp
 
@@ -341,20 +340,12 @@ def build_rankmap_device(pair_batches, k: int,
             yield kv
         exhausted = True
 
-    W_total = 1 << max(k - 5, 0)
-    wp = jnp.zeros(2 * W_total, jnp.int32)
-    slab = 1 << min(k, SLAB_BITS)
-    carry = 0
-    for s in range(max(1, 1 << max(k - SLAB_BITS, 0))):
-        bm8 = jnp.zeros(slab, jnp.uint8)
-        for kk, vv in replay():
-            bm8 = _slab_add(bm8, kk, base=s * slab)
-        w, pref, pc_total = _pack_slab(bm8)
-        del bm8
-        wp = _assemble_wp(wp, w, pref, jnp.int32(carry),
-                          wbase=s * (slab // 32))
-        carry += int(pc_total)
-    ku = carry
+    w = jnp.zeros(1 << max(k - 5, 0), jnp.int32)
+    for kk, vv in replay():
+        w = _word_add(w, kk)
+    wp, ku = _words_to_wp(w)
+    del w
+    ku = int(ku)
     if ku == 0:
         return None
     if ku >= 1 << 31:  # int32 prefix overflow
