@@ -68,17 +68,23 @@ def _kernel(cg_ref, cp_ref, og_ref, oc_ref, op_ref, oh_ref, *, C: int,
             match = (sg == sel_g) & (sg != 0)
             have = jnp.max(jnp.where(match, 1, 0), axis=0, keepdims=True)
             sc = sc + jnp.where(match & do, 1, 0)
+            # victim = first empty slot, or (register full) the first
+            # count-1 slot — the eviction policy of peaks._vote_core
+            # one_position (see the rationale there); bit-identical paths
             emptyi = jnp.where(sg == 0, 1, 0)
-            # first empty slot: prefix-max of `emptyi` over the G sublanes
-            # in log steps (cumsum is unsupported in Pallas TPU)
+            count1i = jnp.where((sg != 0) & (sc == 1), 1, 0)
+            has_empty = jnp.max(emptyi, axis=0, keepdims=True)
+            victimi = jnp.where(has_empty == 1, emptyi, count1i)
+            # first victim slot: prefix-max of `victimi` over the G
+            # sublanes in log steps (cumsum is unsupported in Pallas TPU)
             prior = jnp.concatenate(
-                [jnp.zeros((1, Bt), jnp.int32), emptyi[:-1]], axis=0)
+                [jnp.zeros((1, Bt), jnp.int32), victimi[:-1]], axis=0)
             sh = 1
             while sh < G:
                 prior = jnp.maximum(prior, jnp.concatenate(
                     [jnp.zeros((sh, Bt), jnp.int32), prior[:-sh]], axis=0))
                 sh *= 2
-            ins = (emptyi == 1) & (prior == 0) & do & (have == 0)
+            ins = (victimi == 1) & (prior == 0) & do & (have == 0)
             sg = jnp.where(ins, sel_g, sg)
             sc = jnp.where(ins, 1, sc)
             sp = jnp.where(ins, sel_p, sp)

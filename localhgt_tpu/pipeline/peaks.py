@@ -686,9 +686,24 @@ def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
         have = jnp.any(match & (slots_g != 0), axis=1)
         inc = match & (slots_g != 0) & do[:, None]
         slots_c = slots_c + inc.astype(jnp.int32)
+        # insert at the first empty slot; when the register is full, evict
+        # the first count-1 slot instead. The reference's genome map is
+        # UNBOUNDED (std::map, judge_base cpp:118-159); a fixed register
+        # that never evicts loses real genomes behind spurious single-hit
+        # k-mer collisions, which at production peak-map density fill all
+        # G slots (the big-fixture recall loss). Count-1 occupants are
+        # exactly the spurious ones — real genomes accumulate immediately
+        # (their positions are dense) and become un-evictable, so this
+        # matches the unbounded-map outcome for every gate-relevant genome,
+        # and is bit-identical to the reference whenever <= G genomes
+        # appear (the species20 A/B regime).
         empty = slots_g == 0
-        first_empty = empty & (jnp.cumsum(empty.astype(jnp.int32), axis=1) == 1)
-        ins = first_empty & (do & ~have)[:, None]
+        count1 = (slots_g != 0) & (slots_c == 1)
+        has_empty = jnp.any(empty, axis=1, keepdims=True)
+        victim = jnp.where(has_empty, empty, count1)
+        first_victim = victim & (
+            jnp.cumsum(victim.astype(jnp.int32), axis=1) == 1)
+        ins = first_victim & (do & ~have)[:, None]
         slots_g = jnp.where(ins, sel_g[:, None], slots_g)
         slots_c = jnp.where(ins, 1, slots_c)
         slots_p = jnp.where(ins, sel_p[:, None], slots_p)

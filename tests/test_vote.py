@@ -187,6 +187,33 @@ def test_pallas_vote_state_matches_scan():
     np.testing.assert_array_equal(np.asarray(out_scan), np.asarray(out_pal))
 
 
+def test_register_overflow_evicts_spurious_genomes():
+    """A bridging pair must still vote when MORE genomes than register
+    slots appear (production peak maps give ~1 spurious single-hit genome
+    per ~25 positions; the reference's genome map is unbounded,
+    judge_base cpp:118-159). Count-1 eviction keeps the dense real genomes;
+    the pre-fix register dropped them once 8 slots filled."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.pipeline import peaks as pm_mod
+
+    C, B, G = 1, 1, 8
+    # positions: 10 spurious genomes (ids 100..109, one position each)
+    # FIRST, then the two real genomes (ids 1, 2) with 8 positions each
+    genomes = [100 + i for i in range(10)] + [1] * 8 + [2] * 8
+    P = len(genomes)
+    pk = np.arange(1, P + 1, dtype=np.int32).reshape(1, 1, P)
+    peak_contig = np.zeros(P + 1, np.int32)
+    peak_contig[1:] = genomes
+    gn = peak_contig[pk]
+    pf = pm_mod._vote_core(
+        jnp.zeros(P + 1, jnp.int32), jnp.asarray(pk[:, :, : P // 2]),
+        jnp.asarray(pk[:, :, P // 2:]), jnp.asarray(peak_contig),
+        jnp.asarray(np.ones(B, bool)), min_base_num=6, n_slots=G)
+    assert np.asarray(pf)[1:].sum() >= 2, (
+        "real genomes lost to register overflow")
+
+
 def test_rankmap_matches_searchsorted():
     """The rank-select-map candidates path (the k > 30 default) must vote
     identically to the sorted-table binary-search path."""
