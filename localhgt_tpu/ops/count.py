@@ -141,11 +141,9 @@ def count_batch(table, hashes, valid, cap: int = 3):
     return jnp.minimum(table, jnp.int8(cap))
 
 
-@partial(jax.jit, static_argnames=("k", "cap", "clip", "return_hashes"),
-         donate_argnums=(0,))
+@partial(jax.jit, static_argnames=("k", "cap", "clip"), donate_argnums=(0,))
 def count_reads_step(tables, codes, lengths, accept, masks, k: int,
-                     cap: int = 3, clip: bool = True,
-                     return_hashes: bool = False):
+                     cap: int = 3, clip: bool = True):
     """One fused device step: hash a read batch and update all hash tables.
 
     Fully jitted (single dispatch per batch — essential when the device sits
@@ -155,18 +153,12 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
     int8 values stay bounded for ~(127/cap) batches and a periodic
     clip_tables() restores min(total, cap) exactly (deltas of k-mers below
     cap are uncapped, so the final clip loses nothing).
-
-    return_hashes=True additionally returns (hashes [C, B, L] uint32,
-    valid & in-window [B, L] bool, pre-accept) so the later split-read vote
-    pass can reuse them device-resident instead of re-reading and re-hashing
-    the FASTQs.
     """
     hashes, valid = encode.canonical_hashes(jnp, codes, masks, k)
     L = codes.shape[-1]
     j = jnp.arange(L, dtype=jnp.int32)
     inwin = j[None, :] <= (lengths[:, None] - k)
-    vwin = valid & inwin
-    valid = vwin & accept[:, None]
+    valid = valid & inwin & accept[:, None]
     C = hashes.shape[0]
     s_all, contrib_all = capped_batch_delta_multi(
         hashes.reshape(C, -1), valid, cap
@@ -177,8 +169,6 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
         if clip:
             t = jnp.minimum(t, jnp.int8(cap))
         new_tables.append(t)
-    if return_hashes:
-        return tuple(new_tables), hashes, vwin
     return tuple(new_tables)
 
 

@@ -38,7 +38,7 @@ def _kernel(cg_ref, cp_ref, og_ref, oc_ref, op_ref, oh_ref, *, C: int,
     nblk = P // UNROLL
 
     def block_body(i, carry):
-        sg, sc, sp, hits = carry
+        sg, sc, sp, st, hits = carry
         cg_blk = cg_ref[pl.ds(i * UNROLL * C, UNROLL * C), :]
         cp_blk = cp_ref[pl.ds(i * UNROLL * C, UNROLL * C), :]
         one = jnp.ones((1, Bt), jnp.int32)
@@ -68,13 +68,18 @@ def _kernel(cg_ref, cp_ref, og_ref, oc_ref, op_ref, oh_ref, *, C: int,
             match = (sg == sel_g) & (sg != 0)
             have = jnp.max(jnp.where(match, 1, 0), axis=0, keepdims=True)
             sc = sc + jnp.where(match & do, 1, 0)
-            # victim = first empty slot, or (register full) the first
-            # count-1 slot — the eviction policy of peaks._vote_core
+            # victim = first empty slot, or (register full) the
+            # MOST-RECENTLY-INSERTED count-1 slot (per-slot insertion
+            # stamp `st`) — the eviction policy of peaks._vote_core
             # one_position (see the rationale there); bit-identical paths
+            t = i * UNROLL + (u + 1)
             emptyi = jnp.where(sg == 0, 1, 0)
             count1i = jnp.where((sg != 0) & (sc == 1), 1, 0)
             has_empty = jnp.max(emptyi, axis=0, keepdims=True)
-            victimi = jnp.where(has_empty == 1, emptyi, count1i)
+            tc1 = jnp.where(count1i == 1, st, -1)
+            mx = jnp.max(tc1, axis=0, keepdims=True)
+            mrui = jnp.where((count1i == 1) & (tc1 == mx), 1, 0)
+            victimi = jnp.where(has_empty == 1, emptyi, mrui)
             # first victim slot: prefix-max of `victimi` over the G
             # sublanes in log steps (cumsum is unsupported in Pallas TPU)
             prior = jnp.concatenate(
@@ -88,12 +93,14 @@ def _kernel(cg_ref, cp_ref, og_ref, oc_ref, op_ref, oh_ref, *, C: int,
             sg = jnp.where(ins, sel_g, sg)
             sc = jnp.where(ins, 1, sc)
             sp = jnp.where(ins, sel_p, sp)
+            st = jnp.where(ins, t, st)
             hits = hits + jnp.where(do, one, zero)
-        return sg, sc, sp, hits
+        return sg, sc, sp, st, hits
 
     z = jnp.zeros((G, Bt), jnp.int32)
     h0 = jnp.zeros((1, Bt), jnp.int32)
-    sg, sc, sp, hits = jax.lax.fori_loop(0, nblk, block_body, (z, z, z, h0))
+    sg, sc, sp, _, hits = jax.lax.fori_loop(
+        0, nblk, block_body, (z, z, z, z, h0))
     og_ref[:] = sg
     oc_ref[:] = sc
     op_ref[:] = sp

@@ -168,6 +168,19 @@ SW_TILE = 8192  # max rows per device DP call; while-body temps scale with B
 _FIELDS = ("score", "qstart", "qend", "rstart", "rend")
 
 
+def _use_pallas() -> bool:
+    """Production DP runs in the Pallas kernels on TPU (state pinned in
+    VMEM, no [M, B, N] HBM tensors — ops.pallas_sw); the lax.scan
+    formulation stays as the portable CPU path and the LHT_PALLAS_SW=0
+    escape hatch. Equivalence is pinned by tests/test_pallas_sw.py."""
+    import os
+
+    import jax
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("LHT_PALLAS_SW", "1") != "0")
+
+
 @partial(jax.jit, static_argnames=("match", "mismatch", "gap_open", "gap_ext"))
 def _sw_align_packed(query, ref, match=1, mismatch=-4, gap_open=-6, gap_ext=-1):
     """sw_align with outputs stacked as one int16 [5, B] array — a single
@@ -177,28 +190,110 @@ def _sw_align_packed(query, ref, match=1, mismatch=-4, gap_open=-6, gap_ext=-1):
     return jnp.stack([out[f] for f in _FIELDS]).astype(jnp.int16)
 
 
-def sw_align_tiled(query, ref, tile: int = SW_TILE, **kw):
+def _bucket(n: int, tile: int, use_pallas: bool) -> int:
+    """Pad size for a sub-batch. The Pallas kernels pay a large one-time
+    Mosaic compile per shape (~3 min for the align kernel), so on TPU only
+    TWO buckets exist per (M, N): 256 and `tile` — the kernel runs ~30 ms
+    at full tile, so padded waste is noise next to a recompile."""
+    if use_pallas:
+        return 256 if n <= 256 else tile
+    return tile if n >= tile else max(256, 1 << (n - 1).bit_length())
+
+
+def _sw_align_device(q, r, **kw):
+    """Per-device full-span SW: int32 [5, b]. Picks the Pallas kernel on
+    TPU, the lax.scan formulation elsewhere (including inside shard_map
+    shards — both paths are shard-shape-oblivious)."""
+    if _use_pallas():
+        from localhgt_tpu.ops import pallas_sw
+
+        return pallas_sw.sw_align_pallas(q, r, **kw).T
+    return _sw_align_packed(q, r, **kw).astype(jnp.int32)
+
+
+def sw_align_sharded(mesh, query, ref, **kw):
+    """Data-parallel SW over a device mesh: the batch axis is sharded over
+    the mesh's first axis with shard_map, each device running the same
+    kernel on its rows (the TPU analogue of bwa mem -t fanning reads over
+    threads, pipeline.sh:48). Per-row results are independent, so outputs
+    are bit-identical to the single-device path. Returns the numpy dict of
+    sw_align_tiled."""
+    from functools import partial as _partial
+
+    import numpy as np
+
+    from jax.sharding import PartitionSpec as P
+
+    from localhgt_tpu.utils import metrics
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    axis = mesh.axis_names[0]
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    B = query.shape[0]
+    metrics.add("sw_cells", float(B) * query.shape[1] * ref.shape[1])
+    unit = 256 * n_dev  # per-shard rows must satisfy the Pallas tile
+    Bp = max(unit, -(-B // unit) * unit)
+    q = np.full((Bp, query.shape[1]), 4, np.uint8)
+    q[:B] = np.asarray(query)
+    r = np.full((Bp, ref.shape[1]), 4, np.uint8)
+    r[:B] = np.asarray(ref)
+
+    import inspect
+
+    sig = inspect.signature(shard_map).parameters
+    relax = ({"check_vma": False} if "check_vma" in sig
+             else {"check_rep": False})  # older jax spelling
+    smap = _partial(shard_map, mesh=mesh, in_specs=(P(axis), P(axis)),
+                    out_specs=P(None, axis), **relax)
+
+    @jax.jit
+    @smap
+    def run(qs, rs):
+        return _sw_align_device(qs, rs, **kw)
+
+    packed = np.asarray(run(jnp.asarray(q), jnp.asarray(r)))
+    return {f: packed[i, :B].astype(np.int32)
+            for i, f in enumerate(_FIELDS)}
+
+
+def sw_align_tiled(query, ref, tile: int = SW_TILE, mesh=None, **kw):
     """sw_align in host-tiled sub-batches; returns numpy dict (int32).
 
-    Coordinates fit int16 because M, N <= a few hundred in every caller."""
+    Coordinates fit int16 because M, N <= a few hundred in every caller.
+    With `mesh`, the batch is sharded over the mesh instead (see
+    sw_align_sharded)."""
     import numpy as np
 
     from localhgt_tpu.utils import metrics
 
+    if mesh is not None:
+        return sw_align_sharded(mesh, query, ref, **kw)
+
     B = query.shape[0]
     metrics.add("sw_cells", float(B) * query.shape[1] * ref.shape[1])
+    use_pallas = _use_pallas()
     parts = []
     for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)
         n = hi - lo
         if n <= 0:
             break
-        bucket = tile if B > tile else max(256, 1 << (n - 1).bit_length())
+        bucket = _bucket(n, tile, use_pallas)
         q = np.full((bucket, query.shape[1]), 4, np.uint8)
         q[:n] = np.asarray(query[lo:hi])
         r = np.full((bucket, ref.shape[1]), 4, np.uint8)
         r[:n] = np.asarray(ref[lo:hi])
-        packed = np.asarray(_sw_align_packed(q, r, **kw))
+        if use_pallas:
+            from localhgt_tpu.ops import pallas_sw
+
+            packed = np.asarray(
+                pallas_sw.sw_align_pallas(q, r, **kw)).T  # [5, bucket]
+        else:
+            packed = np.asarray(_sw_align_packed(q, r, **kw))
         parts.append(packed[:, :n])
     if not parts:
         return {f: np.zeros(0, np.int32) for f in _FIELDS}
@@ -219,18 +314,26 @@ def sw_score_tiled(query, ref, tile: int = SW_TILE, **kw):
 
     B = query.shape[0]
     metrics.add("sw_cells", float(B) * query.shape[1] * ref.shape[1])
+    use_pallas = _use_pallas()
     outs = []
     for lo in range(0, max(B, 1), tile):
         hi = min(B, lo + tile)
         n = hi - lo
         if n <= 0:
             break
-        bucket = tile if B > tile else max(256, 1 << (n - 1).bit_length())
+        bucket = _bucket(n, tile, use_pallas)
         q = np.full((bucket, query.shape[1]), 4, np.uint8)
         q[:n] = np.asarray(query[lo:hi])
         r = np.full((bucket, ref.shape[1]), 4, np.uint8)
         r[:n] = np.asarray(ref[lo:hi])
-        outs.append(np.asarray(_sw_score_i16(q, r, **kw))[:n].astype(np.int32))
+        if use_pallas:
+            from localhgt_tpu.ops import pallas_sw
+
+            sc = np.asarray(pallas_sw.sw_score_pallas(q, r, **kw))
+            outs.append(sc[:n].astype(np.int32))
+        else:
+            outs.append(
+                np.asarray(_sw_score_i16(q, r, **kw))[:n].astype(np.int32))
     if not outs:
         return np.zeros(0, np.int32)
     return np.concatenate(outs)

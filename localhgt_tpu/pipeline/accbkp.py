@@ -159,6 +159,12 @@ def make_split_reads(
 
     `read_codes` rows align with `aln` rows. `subref` enables the
     segment-end proximity check (update_pos, :225-237); None = -n 0 mode.
+
+    Contract with bkp.CompactRows: `read_codes` retains ONLY the rows
+    where `aln.contig2 >= 0` at alignment time — exactly the rows this
+    function indexes. Any new consumer selecting rows by a different
+    predicate must verify retention with `read_codes.has(i)` at selection
+    time (CompactRows raises KeyError for unretained rows).
     """
     out = []
     idx = np.flatnonzero(aln.contig2 >= 0)
@@ -188,7 +194,10 @@ def make_split_reads(
             seq1 = np.zeros(0, np.uint8)
             seq2 = np.zeros(0, np.uint8)
         else:
-            q = _oriented_codes(read_codes[i], L, int(aln.strand[i]))
+            # CompactRows is keyed by GLOBAL read ordinal (== read_id), not
+            # table row position — the table is row-filtered upstream
+            q = _oriented_codes(read_codes[int(aln.read_id[i])], L,
+                                int(aln.strand[i]))
             mm = max(0, min(m, L))
             if clipdir == "right":
                 seq1, seq2 = q[:mm], q[mm:]

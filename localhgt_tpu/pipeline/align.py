@@ -309,9 +309,14 @@ def align_batch(
     mate: int,
     cfg: AlignConfig,
     threads: int = 8,
+    mesh=None,
 ) -> AlnTable:
     """Align one batch of single-end reads; returns per-read records
-    (unmapped reads included with contig=-1 so pairing stays positional)."""
+    (unmapped reads included with contig=-1 so pairing stays positional).
+
+    `mesh`: shard the SW extension over a device mesh (data parallel on
+    the candidate-row axis, ops.sw.sw_align_sharded) — per-row results are
+    independent, so the output is bit-identical to single-device."""
     import jax.numpy as jnp
 
     from localhgt_tpu.ops import sw as swmod
@@ -415,6 +420,7 @@ def align_batch(
             q_sel, ref_w,
             match=cfg.match, mismatch=cfg.mismatch,
             gap_open=cfg.gap_open, gap_ext=cfg.gap_extend,
+            mesh=mesh,
         )
         score[b_idx, c_idx] = out["score"][:n_sel]
         qs[b_idx, c_idx] = out["qstart"][:n_sel]

@@ -51,6 +51,13 @@ class CompactRows:
         return cls(np.concatenate([p[0] for p in parts]),
                    np.concatenate([p[1] for p in parts]))
 
+    def has(self, i: int) -> bool:
+        """Whether row i was retained. Callers selecting rows by any
+        predicate other than `contig2 >= 0` must check this at selection
+        time so a loosened filter fails there, not mid-loop in accbkp."""
+        j = int(np.searchsorted(self.row_ids, i))
+        return j < len(self.row_ids) and self.row_ids[j] == i
+
     def __getitem__(self, i: int) -> np.ndarray:
         j = int(np.searchsorted(self.row_ids, i))
         if j >= len(self.row_ids) or self.row_ids[j] != i:
@@ -132,7 +139,11 @@ def detect_breakpoint(
             (cid, 1, contigs.length_of(cid)) for cid in range(1, contigs.n + 1)
         ]
 
+    from localhgt_tpu.utils import metrics
+
     subref = align.build_subref(contigs, intervals)
+    metrics.add("n_intervals", len(intervals))
+    metrics.add("subref_bp", len(subref.codes))
     log.info("sub-reference: %d segments, %d bp", len(subref.seg_off), len(subref.codes))
     if len(subref.codes) == 0:
         acc_path = os.path.join(outdir, f"{sample}.acc.csv")
@@ -141,8 +152,6 @@ def detect_breakpoint(
     index = align.SeedIndex.build(subref, cfg.align.seed_len)
 
     # --- align all read pairs ---
-    from localhgt_tpu.utils import metrics
-
     t1 = time.time()
     _align_t = metrics.stage("align")
     _align_t.__enter__()
@@ -150,8 +159,11 @@ def detect_breakpoint(
     codes1, codes2 = [], []
     n_pairs = 0
     # big batches: each align_batch is one SW dispatch, and dispatch latency
-    # through the device tunnel (~0.2 s RTT) dominates small batches
-    batch_reads = 1 << 16
+    # through the device tunnel (~0.2 s RTT) dominates small batches. On a
+    # LARGE sub-reference (many intervals at scale — r3 saw 87k intervals /
+    # ~130 Mbp on the 1 Gbp fixture) seed hits per read multiply, so the
+    # batch shrinks to bound the per-batch hit/grouping temporaries.
+    batch_reads = 1 << 16 if len(subref.codes) < (32 << 20) else 1 << 14
     width = None
     row_base = 0
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
@@ -159,8 +171,9 @@ def detect_breakpoint(
         if width is None:
             width = max(64, -(-max(b1.codes.shape[1], b2.codes.shape[1]) // 64) * 64)
         ids = np.arange(b1.start_ordinal, b1.start_ordinal + b1.n)
-        for b, mate, tabs, codes_all in (
-            (b1, 0, tables1, codes1), (b2, 1, tables2, codes2),
+        batch_t = {}
+        for b, mate, codes_all in (
+            (b1, 0, codes1), (b2, 1, codes2),
         ):
             c = _pad_to(b.codes, width)
             ln = np.minimum(b.lengths, width)
@@ -176,15 +189,24 @@ def detect_breakpoint(
             else:
                 full_ids = ids
             t = align.align_batch(subref, index, c, ln, full_ids, mate,
-                                  cfg.align, threads=cfg.threads)
+                                  cfg.align, threads=cfg.threads, mesh=mesh)
             t = _crop_table(t, b.n)
-            tabs.append(t)
+            batch_t[mate] = t
             # retain code sequences ONLY for split candidates (contig2 >= 0):
-            # accbkp.make_split_reads reads nothing else, and the full code
-            # matrix would hold ~n_pairs * width * 2 bytes of host RAM
-            # (~4 GB at the 13M-pair headline workload) for the entire run
+            # accbkp.make_split_reads reads nothing else (keyed by global
+            # read_id), and the full code matrix would hold ~n_pairs *
+            # width * 2 bytes of host RAM (~4 GB at the 13M-pair headline
+            # workload) for the entire run
             keep = np.flatnonzero(t.contig2 >= 0)
             codes_all.append((keep + row_base, c[keep]))
+        # drop pairs with NO mapped end before accumulating: rawbkp and
+        # accbkp's AlnIndex only ever select rows with a mapped end (the
+        # tables must stay positionally paired, so one shared mask), and
+        # at reference scale ~99% of reads never touch the sub-reference —
+        # accumulating them held GBs of host RAM at the 1 Gbp scale run
+        keep_pair = (batch_t[0].contig > 0) | (batch_t[1].contig > 0)
+        tables1.append(_take_rows(batch_t[0], keep_pair))
+        tables2.append(_take_rows(batch_t[1], keep_pair))
         row_base += b1.n
         n_pairs += b1.n
     a1 = align.AlnTable.concat(tables1)
@@ -192,6 +214,7 @@ def detect_breakpoint(
     codes1 = CompactRows.concat(codes1, width or 64)
     codes2 = CompactRows.concat(codes2, width or 64)
     mapped = int(((a1.contig > 0) | (a2.contig > 0)).sum())
+    metrics.add("mapped_pairs", mapped)
     _align_t.__exit__(None, None, None)
     log.info("aligned %d pairs (%d with a mapped end) in %.1fs",
              n_pairs, mapped, time.time() - t1)
@@ -227,8 +250,12 @@ def _pad_to(codes: np.ndarray, width: int) -> np.ndarray:
 
 
 def _crop_table(t: align.AlnTable, n: int) -> align.AlnTable:
-    import dataclasses
-
     return align.AlnTable(
         **{f: getattr(t, f)[:n] for f in t.__dataclass_fields__}
+    )
+
+
+def _take_rows(t: align.AlnTable, mask: np.ndarray) -> align.AlnTable:
+    return align.AlnTable(
+        **{f: getattr(t, f)[mask] for f in t.__dataclass_fields__}
     )

@@ -28,6 +28,7 @@ from localhgt_tpu.config import Config
 from localhgt_tpu.io import fasta, fastq
 from localhgt_tpu.ops import count, encode, scan
 from localhgt_tpu.pipeline import peaks as peaks_mod
+from localhgt_tpu.utils import metrics
 
 log = logging.getLogger("localhgt_tpu.extract")
 
@@ -63,7 +64,19 @@ def _batch_width(lmax: int) -> int:
     return max(192, -(-lmax // 64) * 64)
 
 
-HASH_CACHE_LIMIT = 2 << 30  # keep cached hashes for the vote pass below 2 GB
+# The stage-C vote re-reads the sample unless stage A caches it. Round 3
+# cached the canonical HASHES (12 bytes/base: 3 coders x uint32) under a
+# 2 GB device cap — dropped at exactly production scale, forcing a full
+# FASTQ re-read + re-hash (the 146 s big-fixture vote wall). Caching the
+# padded READ CODES instead (1 byte/base) shrinks the footprint 12x, so
+# the whole sample stays device-resident at the 13M-pair headline scale
+# (~5 GB next to the 6 GB count tables on a 16 GB chip); the vote re-hashes
+# on device, which is cheap VPU work. Overflow spills to host numpy (the
+# padded batches already exist host-side, so the spill costs nothing at
+# count time and only an H2D upload at vote time — strictly cheaper than
+# the re-read it replaces).
+CODE_CACHE_DEVICE_LIMIT = 5 << 30
+CODE_CACHE_HOST_LIMIT = 8 << 30
 
 
 def _count_ckpt_path(fq1: str, fq2: str, cfg: Config) -> str:
@@ -86,13 +99,15 @@ def _count_ckpt_path(fq1: str, fq2: str, cfg: Config) -> str:
 
 
 def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
-                cache_limit: int = HASH_CACHE_LIMIT):
+                dev_limit: int = CODE_CACHE_DEVICE_LIMIT,
+                host_limit: int = CODE_CACHE_HOST_LIMIT):
     """Stage A: build the per-hash count tables from both FASTQs.
 
-    Also opportunistically caches the device-resident canonical hashes of
-    every batch (plus the accept masks) for the stage-C vote pass; the cache
-    is dropped when it would exceed `cache_limit` bytes (big real samples),
-    in which case the vote pass re-streams the FASTQs.
+    Also caches the padded read-code batches (plus lengths and accept
+    masks) for the stage-C vote pass — device-resident up to `dev_limit`
+    bytes, spilling to host numpy up to `host_limit` more, so the vote
+    never re-reads the FASTQs at any realistic scale (see the cache-limit
+    note above).
 
     With cfg.count_ckpt set, finished tables persist to disk keyed by the
     FASTQ identity + parameters; a later run with the same inputs resumes
@@ -120,7 +135,7 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
     t_io = t_dev = 0.0
     nb = 0
     cache = {fq1: [], fq2: []}
-    cache_bytes = 0
+    dev_bytes = host_bytes = 0
     for path in (fq1, fq2):
         t0 = _time.perf_counter()
         for b in fastq.iter_fastq_batches(path, batch_reads=batch_reads,
@@ -132,21 +147,25 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
             codes, lengths, acc = _pad_read_batch(b, acc, batch_reads, width)
             t1 = _time.perf_counter()
             t_io += t1 - t0
-            want_cache = cache is not None
-            out = count.count_reads_step(
-                tables, jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(acc), masks_j, k, cfg.kmer.least_depth,
-                clip=False, return_hashes=want_cache,
+            codes_j = jnp.asarray(codes)
+            lengths_j = jnp.asarray(lengths)
+            acc_j = jnp.asarray(acc)
+            tables = count.count_reads_step(
+                tables, codes_j, lengths_j, acc_j, masks_j, k,
+                cfg.kmer.least_depth, clip=False,
             )
-            if want_cache:
-                tables, h, v = out
-                cache_bytes += h.size * 4 + v.size
-                if cache_bytes > cache_limit:
-                    cache = None
+            if cache is not None:
+                entry_bytes = codes.nbytes + lengths.nbytes + acc.nbytes
+                if dev_bytes + entry_bytes <= dev_limit:
+                    cache[path].append((codes_j, lengths_j, acc_j))
+                    dev_bytes += entry_bytes
+                elif host_bytes + entry_bytes <= host_limit:
+                    # spill tier: the padded host arrays already exist —
+                    # free now, one H2D upload at vote time
+                    cache[path].append((codes, lengths, acc))
+                    host_bytes += entry_bytes
                 else:
-                    cache[path].append((h, v, jnp.asarray(acc)))
-            else:
-                tables = out
+                    cache = None
             since_clip += 1
             if since_clip >= clip_every:  # int8 headroom: deltas <= cap/batch
                 tables = count.clip_tables(tables, cfg.kmer.least_depth)
@@ -156,8 +175,11 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
             nb += 1
             t0 = _time.perf_counter()
             t_dev += t0 - t1
+            metrics.record("count_batch_dispatch_s", t0 - t1)
     tables = count.clip_tables(tables, cfg.kmer.least_depth)
-    log.info("count: %d batches, host-io %.1fs, dispatch %.1fs", nb, t_io, t_dev)
+    log.info("count: %d batches, host-io %.1fs, dispatch %.1fs "
+             "(code cache: %.2f GB device, %.2f GB host)",
+             nb, t_io, t_dev, dev_bytes / 2**30, host_bytes / 2**30)
     if cache is not None and len(cache[fq1]) != len(cache[fq2]):
         cache = None  # unpaired batch structure; vote re-streams
     if ckpt:
@@ -307,8 +329,9 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
                batch_reads=1 << 15, cache=None):
     """Stage C: second read pass -> peak votes.
 
-    With a stage-A hash `cache` (and the direct map), the pass runs entirely
-    from device-resident arrays: no FASTQ re-read, no transfer, no re-hash."""
+    With a stage-A code `cache`, the pass never re-reads the FASTQs: cached
+    batches are re-hashed on device (cheap VPU work; device-tier entries
+    also skip the H2D transfer) and voted directly."""
     import jax.numpy as jnp
 
     k = cfg.kmer.k
@@ -329,15 +352,19 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
         sh = jnp.asarray(pset.sorted_hash)
         sp = jnp.asarray(pset.sorted_peak)
     pc = jnp.asarray(pset.contig.astype(np.int32))
+    masks_j = jnp.asarray(masks)
     if cache is not None:
-        for (h1, v1, acc1), (h2, v2, _) in zip(cache[fq1], cache[fq2]):
-            peak_filter = peaks_mod.split_vote_from_hashes(
-                peak_filter, h1, v1, h2, v2, acc1, sh, sp, pc,
+        for (c1, l1, a1), (c2, l2, _) in zip(cache[fq1], cache[fq2]):
+            peak_filter = peaks_mod.split_vote_batch(
+                peak_filter,
+                jnp.asarray(c1), jnp.asarray(l1),
+                jnp.asarray(c2), jnp.asarray(l2),
+                jnp.asarray(a1),
+                masks_j, sh, sp, pc,
                 k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
                 rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
             )
         return np.asarray(peak_filter)
-    masks_j = jnp.asarray(masks)
     width = None
     for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
                                        threads=cfg.threads):

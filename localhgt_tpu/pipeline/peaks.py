@@ -196,7 +196,10 @@ def build_rankmap_host(hs: np.ndarray, ps: np.ndarray, k: int):
         w, (h64 >> np.uint64(5)).astype(np.int64),
         (np.uint64(1) << (h64 & np.uint64(31))).astype(np.uint32))
     pc = _popcount_np(w)
-    pref = np.cumsum(pc) - pc
+    pref = np.cumsum(pc) - pc          # int64 (_popcount_np returns int64)
+    if int(pc.sum()) >= 1 << 31:       # int32 interleave would truncate
+        raise ValueError("rank map exceeds 2^31 stored k-mers; raise "
+                         "--max_peak filtering or use k <= 30")
     wp = np.empty(2 * W, np.int32)
     wp[0::2] = w.view(np.int32)
     wp[1::2] = pref.astype(np.int32)
@@ -262,7 +265,14 @@ def _word_add(w, keys):
 @jax.jit
 def _words_to_wp(w):
     """Bit-words -> interleaved (word, exclusive-prefix-popcount) pairs +
-    total stored-key count. All 1-D."""
+    per-block partial key counts. All 1-D.
+
+    The caller must total the partials EXACTLY on host (int64) and reject
+    totals >= 2^31 before trusting wp: the int32 device cumsum wraps
+    negative past 2^31, so an on-device int32 total would leave the
+    overflow guard dead and the wp interleave silently corrupt (r3 ADVICE
+    medium; int64 on device is unavailable without x64). Each block
+    partial is <= 32 * 4096 = 2^17, so int32 partials are exact."""
     import jax.numpy as jnp
 
     pc = jax.lax.population_count(
@@ -272,7 +282,9 @@ def _words_to_wp(w):
     wp = jnp.zeros(2 * W, jnp.int32)
     wp = wp.at[0::2].set(w)
     wp = wp.at[1::2].set(pref)
-    return wp, pref[-1] + pc[-1]
+    block = min(4096, W)  # W is a power of two
+    partials = jnp.sum(pc.reshape(-1, block), axis=1)
+    return wp, partials
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -343,12 +355,14 @@ def build_rankmap_device(pair_batches, k: int,
     w = jnp.zeros(1 << max(k - 5, 0), jnp.int32)
     for kk, vv in replay():
         w = _word_add(w, kk)
-    wp, ku = _words_to_wp(w)
+    wp, partials = _words_to_wp(w)
     del w
-    ku = int(ku)
+    # exact int64 total on host — the device cumsum is int32 and wraps
+    # past 2^31, so the guard must not trust it (r3 ADVICE medium)
+    ku = int(np.asarray(partials).astype(np.int64).sum())
     if ku == 0:
         return None
-    if ku >= 1 << 31:  # int32 prefix overflow
+    if ku >= 1 << 31:  # int32 prefix (wp[1::2]) would be corrupt
         raise ValueError("rank map exceeds 2^31 stored k-mers; raise "
                          "--max_peak filtering or use k <= 30")
     pids = jnp.zeros(_pids_cap(ku), jnp.int32)
@@ -606,28 +620,6 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak,
     return jnp.where(found & ok0, pk, 0)
 
 
-@partial(jax.jit,
-         static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_rank"))
-def split_vote_from_hashes(
-    peak_filter, h1, v1, h2, v2, accept, sorted_hash, sorted_peak,
-    peak_contig,
-    k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = True,
-    rank_wp=None, rank_pids=None, use_rank: bool = False,
-):
-    """split_vote_batch fed with cached canonical hashes from the counting
-    pass (stage A) — skips the second FASTQ read, host->device transfer and
-    re-hash entirely. h: uint32 [C, B, L]; v: bool [B, L] (validity & k-mer
-    window mask, before the down-sampling accept gate). With use_map,
-    `sorted_hash` is the direct map."""
-    c1 = _candidates_from_h(h1, v1, sorted_hash, sorted_peak,
-                            use_map, rank_wp, rank_pids, use_rank)
-    c2 = _candidates_from_h(h2, v2, sorted_hash, sorted_peak,
-                            use_map, rank_wp, rank_pids, use_rank)
-    return _vote_core(peak_filter, c1, c2, peak_contig, accept,
-                      min_base_num, n_slots)
-
-
 def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
                min_base_num: int, n_slots: int):
     import jax.numpy as jnp
@@ -663,8 +655,8 @@ def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
     G = n_slots
     C = pk.shape[-1]
 
-    def one_position(state, cg, cp):
-        slots_g, slots_c, slots_p, hits = state
+    def one_position(state, cg, cp, t):
+        slots_g, slots_c, slots_p, slots_t, hits = state
         sel_g = jnp.zeros(B, jnp.int32)
         sel_cnt = jnp.zeros(B, jnp.int32)
         sel_p = jnp.zeros(B, jnp.int32)
@@ -687,42 +679,51 @@ def _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
         inc = match & (slots_g != 0) & do[:, None]
         slots_c = slots_c + inc.astype(jnp.int32)
         # insert at the first empty slot; when the register is full, evict
-        # the first count-1 slot instead. The reference's genome map is
-        # UNBOUNDED (std::map, judge_base cpp:118-159); a fixed register
-        # that never evicts loses real genomes behind spurious single-hit
-        # k-mer collisions, which at production peak-map density fill all
-        # G slots (the big-fixture recall loss). Count-1 occupants are
-        # exactly the spurious ones — real genomes accumulate immediately
-        # (their positions are dense) and become un-evictable, so this
-        # matches the unbounded-map outcome for every gate-relevant genome,
-        # and is bit-identical to the reference whenever <= G genomes
-        # appear (the species20 A/B regime).
+        # the MOST-RECENTLY-INSERTED count-1 slot. The reference's genome
+        # map is UNBOUNDED (std::map, judge_base cpp:118-159); a fixed
+        # register that never evicts loses real genomes behind spurious
+        # single-hit k-mer collisions, which at production peak-map density
+        # fill all G slots (the round-2 big-fixture recall loss). Evicting
+        # the NEWEST count-1 occupant (per-slot insertion stamp slots_t)
+        # means a sparse real genome inserted earlier survives any number
+        # of interleaved spurious single-hit insertions until its own next
+        # hit — first-count-1 eviction could churn it forever (r3 ADVICE
+        # low #2). Bit-identical to the reference whenever <= G genomes
+        # appear (the species20 A/B regime). At most one insert happens
+        # per position, so stamps of live slots are distinct and the
+        # cumsum tie-break below is only a safety net.
         empty = slots_g == 0
         count1 = (slots_g != 0) & (slots_c == 1)
         has_empty = jnp.any(empty, axis=1, keepdims=True)
-        victim = jnp.where(has_empty, empty, count1)
-        first_victim = victim & (
-            jnp.cumsum(victim.astype(jnp.int32), axis=1) == 1)
-        ins = first_victim & (do & ~have)[:, None]
+        first_empty = empty & (jnp.cumsum(empty.astype(jnp.int32), axis=1) == 1)
+        tc1 = jnp.where(count1, slots_t, -1)
+        mru = count1 & (tc1 == jnp.max(tc1, axis=1, keepdims=True))
+        first_mru = mru & (jnp.cumsum(mru.astype(jnp.int32), axis=1) == 1)
+        victim = jnp.where(has_empty, first_empty, first_mru)
+        ins = victim & (do & ~have)[:, None]
         slots_g = jnp.where(ins, sel_g[:, None], slots_g)
         slots_c = jnp.where(ins, 1, slots_c)
         slots_p = jnp.where(ins, sel_p[:, None], slots_p)
+        slots_t = jnp.where(ins, t, slots_t)
         hits = hits + do.astype(jnp.int32)
-        return (slots_g, slots_c, slots_p, hits)
+        return (slots_g, slots_c, slots_p, slots_t, hits)
 
     def step(state, inp):
-        cg_blk, cp_blk = inp  # [UNROLL, B, C]
+        cg_blk, cp_blk, blk = inp  # [UNROLL, B, C], scalar block index
         for u in range(UNROLL):
-            state = one_position(state, cg_blk[u], cp_blk[u])
+            state = one_position(state, cg_blk[u], cp_blk[u],
+                                 blk * UNROLL + (u + 1))
         return state, None
 
     init = (
         jnp.zeros((B, G), jnp.int32),
         jnp.zeros((B, G), jnp.int32),
         jnp.zeros((B, G), jnp.int32),
+        jnp.zeros((B, G), jnp.int32),
         jnp.zeros(B, jnp.int32),
     )
-    (slots_g, slots_c, slots_p, hits), _ = jax.lax.scan(step, init, (genome, pk))
+    (slots_g, slots_c, slots_p, _, hits), _ = jax.lax.scan(
+        step, init, (genome, pk, jnp.arange(nblk, dtype=jnp.int32)))
     return _vote_tail(peak_filter, slots_g, slots_c, slots_p, hits, accept,
                       min_base_num)
 

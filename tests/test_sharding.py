@@ -100,3 +100,22 @@ def test_sharded_scan_matches_host():
         ]).astype(np.int8)
         g_host, _ = scan.scan_hits(np, hc, k, cfg)
         np.testing.assert_array_equal(good[i], g_host[halo : halo + block])
+
+
+def test_sw_align_sharded_matches_single():
+    """Data-parallel SW over the 8-device CPU mesh must return the exact
+    single-device spans (per-row independence; VERDICT r3 ask #7)."""
+    from localhgt_tpu.ops import sw
+    from localhgt_tpu.parallel import extract_sharded as shx
+
+    rng = np.random.default_rng(3)
+    B, M, N = 700, 48, 96  # deliberately not a multiple of 8*256
+    q = rng.integers(0, 4, (B, M)).astype(np.uint8)
+    r = rng.integers(0, 4, (B, N)).astype(np.uint8)
+    for b in range(0, B, 3):
+        r[b, 11:11 + 32] = q[b][5:37]
+    mesh = shx.make_flat_mesh(8)
+    got = sw.sw_align_sharded(mesh, q, r)
+    exp = sw.sw_align_tiled(q, r)
+    for f in sw._FIELDS:
+        np.testing.assert_array_equal(got[f], exp[f], err_msg=f)

@@ -214,6 +214,50 @@ def test_register_overflow_evicts_spurious_genomes():
         "real genomes lost to register overflow")
 
 
+def test_sparse_real_genome_survives_interleaved_spurious():
+    """Adversarial ordering (r3 ADVICE low #2): a SPARSE real genome whose
+    hits interleave with spurious single-hit genomes. Between its own hits
+    the real genome is itself a count-1 occupant; evicting the FIRST
+    count-1 slot would churn it out before every one of its hits (it sits
+    in a low slot), so it never accumulates. Evicting the MOST-RECENTLY-
+    INSERTED count-1 slot sacrifices the newest spurious occupant instead,
+    and the real genome reaches min_base_num — matching the reference's
+    unbounded map (judge_base cpp:118-159), where both real genomes
+    accumulate regardless of interleaving."""
+    import jax.numpy as jnp
+
+    from localhgt_tpu.ops import pallas_vote
+    from localhgt_tpu.pipeline import peaks as pm_mod
+
+    C, B, G = 1, 1, 4
+    # dense genome 2 first (3 hits), then sparse genome 1's first hit,
+    # fillers 21/22 fill the register, then spurious 23/24/25 interleave
+    # with genome 1's remaining hits
+    genomes = [2, 2, 2, 1, 21, 22, 23, 1, 24, 1, 25, 1]
+    P = len(genomes)
+    pk = np.arange(1, P + 1, dtype=np.int32).reshape(1, 1, P)
+    peak_contig = np.zeros(P + 1, np.int32)
+    peak_contig[1:] = genomes
+    pf = pm_mod._vote_core(
+        jnp.zeros(P + 1, jnp.int32), jnp.asarray(pk[:, :, : P // 2]),
+        jnp.asarray(pk[:, :, P // 2:]), jnp.asarray(peak_contig),
+        jnp.asarray(np.ones(B, bool)), min_base_num=3, n_slots=G)
+    pf = np.asarray(pf)
+    # first-seen peaks of genome 2 (pid 1) and genome 1 (pid 4) get votes
+    assert pf[1] == 1 and pf[4] == 1, pf
+    assert pf[1:].sum() == 2, pf
+
+    # Pallas kernel (interpret mode) must agree bit-for-bit
+    gn = peak_contig[pk]
+    got = pallas_vote.vote_state(jnp.asarray(gn), jnp.asarray(pk),
+                                 n_slots=G, interpret=True)
+    pal = pm_mod._vote_tail(
+        jnp.zeros(P + 1, jnp.int32),
+        *[jnp.asarray(np.asarray(x)) for x in got],
+        jnp.asarray(np.ones(B, bool)), 3)
+    np.testing.assert_array_equal(pf, np.asarray(pal))
+
+
 def test_rankmap_matches_searchsorted():
     """The rank-select-map candidates path (the k > 30 default) must vote
     identically to the sorted-table binary-search path."""
