@@ -71,7 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
         "stats, microhomology, mechanism, network, classifier).")
     a.add_argument("what", choices=[
         "stats", "microhomology", "mechanism", "network", "classifier",
-        "lodo", "kegg", "timeline"])
+        "lodo", "kegg", "timeline", "transfer_gene"])
     a.add_argument("-b", help="folder with *.acc.csv files")
     a.add_argument("-r", help="reference FASTA (microhomology/mechanism)")
     a.add_argument("-e", help="event CSV (mechanism)")
@@ -97,6 +97,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "(kegg; replaces the reference's KEGG REST fetch)")
     a.add_argument("--individuals",
                    help="CSV mapping sample,individual (timeline)")
+    a.add_argument("--gff",
+                   help="gene-annotation GFF for product classification "
+                   "(transfer_gene)")
     return p
 
 
@@ -192,6 +195,16 @@ def run_analyze(a) -> int:
         kos = [l.strip() for l in open(a.kos) if l.strip()]
         bg = [l.strip() for l in open(a.background_kos) if l.strip()]
         emit(cohort.kegg_enrichment(kos, bg, ko_pathway))
+        return 0
+
+    if a.what == "transfer_gene":
+        from localhgt_tpu.analysis import transfer_gene
+
+        if not a.e:
+            print("transfer_gene needs -e <event CSV> (and optionally "
+                  "--gff for product classes)", file=sys.stderr)
+            return 2
+        emit(transfer_gene.analyze(a.e, a.gff))
         return 0
 
     if a.what == "mechanism":

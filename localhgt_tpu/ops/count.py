@@ -141,9 +141,58 @@ def count_batch(table, hashes, valid, cap: int = 3):
     return jnp.minimum(table, jnp.int8(cap))
 
 
-@partial(jax.jit, static_argnames=("k", "cap", "clip"), donate_argnums=(0,))
+def sorted_run_deltas(s: jnp.ndarray, cap: int):
+    """Per-unique-hash batch deltas from sorted hashes.
+
+    s: uint32 [C, N] sorted ascending per row (SENTINEL tail). Returns
+    (live bool [C, N], delta int32 [C, N]): live marks the FIRST entry of
+    each hash run; delta there = min(run_length, cap) — identical to the
+    sum of the rank-capped per-entry contribs, but emitted at ONE entry
+    per unique hash so the scatter can declare `unique_indices` and skip
+    XLA's conflict serialization (measured 428 ms -> ~1 ms per batch on
+    the packed k=32 tables). Run length = next run start - own start, via
+    a suffix-min of start positions."""
+    C, N = s.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (C, N))
+    is_start = jnp.concatenate(
+        [jnp.ones((C, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    arr = jnp.where(is_start, pos, jnp.int32(N))
+    suf = jnp.flip(jax.lax.cummin(jnp.flip(arr, axis=1), axis=1), axis=1)
+    nxt = jnp.concatenate(
+        [suf[:, 1:], jnp.full((C, 1), N, jnp.int32)], axis=1)
+    delta = jnp.minimum(nxt - pos, cap).astype(jnp.int32)
+    return is_start & (s != SENTINEL), delta
+
+
+def scatter_unique(table, s, live, delta):
+    """Scatter per-unique-hash deltas (sorted_run_deltas output) with
+    unique indices.
+
+    Plain (k <= 30) tables: live entries have distinct hashes, so the
+    int8 scatter is directly unique. Packed tables: distinct hashes can
+    share a word, so the scatter splits by FIELD (s & 7) — within one
+    field, distinct hashes imply distinct words, making each of the 8
+    scatters unique (dead entries route to the positive out-of-bounds
+    slot and drop)."""
+    n = table.shape[0]
+    if is_packed(table):
+        word = (s >> jnp.uint32(PACKED_SHIFT_BITS)).astype(jnp.int32)
+        field = (s & jnp.uint32(7)).astype(jnp.int32)
+        for f in range(1 << PACKED_SHIFT_BITS):
+            sel = live & (field == f)
+            idx = jnp.where(sel, word, jnp.int32(n))
+            val = jnp.where(sel, delta << (4 * f), 0)
+            table = table.at[idx].add(val, mode="drop", unique_indices=True)
+        return table
+    idx = jnp.where(live, s.astype(jnp.int32), jnp.int32(n))
+    val = jnp.where(live, delta, 0).astype(jnp.int8)
+    return table.at[idx].add(val, mode="drop", unique_indices=True)
+
+
+@partial(jax.jit, static_argnames=("k", "cap", "clip", "kw"),
+         donate_argnums=(0,))
 def count_reads_step(tables, codes, lengths, accept, masks, k: int,
-                     cap: int = 3, clip: bool = True):
+                     cap: int = 3, clip: bool = True, kw: int = 0):
     """One fused device step: hash a read batch and update all hash tables.
 
     Fully jitted (single dispatch per batch — essential when the device sits
@@ -153,19 +202,30 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
     int8 values stay bounded for ~(127/cap) batches and a periodic
     clip_tables() restores min(total, cap) exactly (deltas of k-mers below
     cap are uncapped, so the final clip loses nothing).
+
+    kw (static) crops the k-mer start axis to the batch's real window
+    (max_len - k + 1 rounded to 64) before the sort — the padded read
+    width is typically 192 for 150-bp reads whose last valid start is
+    118, so cropping cuts the sort (the dominant device cost) by ~1/3.
+    0 = no crop.
     """
     hashes, valid = encode.canonical_hashes(jnp, codes, masks, k)
     L = codes.shape[-1]
+    if kw and kw < L:
+        hashes = hashes[:, :, :kw]
+        valid = valid[:, :kw]
+        L = kw
     j = jnp.arange(L, dtype=jnp.int32)
     inwin = j[None, :] <= (lengths[:, None] - k)
     valid = valid & inwin & accept[:, None]
     C = hashes.shape[0]
-    s_all, contrib_all = capped_batch_delta_multi(
-        hashes.reshape(C, -1), valid, cap
-    )
+    flat = jnp.where(valid.reshape(1, -1),
+                     hashes.reshape(C, -1).astype(jnp.uint32), SENTINEL)
+    s_all = jnp.sort(flat, axis=1)
+    live, delta = sorted_run_deltas(s_all, cap)
     new_tables = []
     for i, t in enumerate(tables):
-        t = scatter_delta(t, s_all[i], contrib_all[i])
+        t = scatter_unique(t, s_all[i], live[i], delta[i])
         if clip:
             t = jnp.minimum(t, jnp.int8(cap))
         new_tables.append(t)

@@ -54,7 +54,13 @@ def sharded_count_step(mesh: Mesh, k: int, cap: int = 3):
     table: int32 [2^k] sharded over tp (leading bits). hashes: uint32 [B]
     sharded over dp. Deterministic: every device's contribution is summed with
     psum over dp before the saturating clip.
+
+    k <= 30 only (slice indices must fit int32; the production k=32 path is
+    the packed-word form in parallel.extract_sharded).
     """
+    if k > 30:
+        raise ValueError("sharded_count_step supports k <= 30; use "
+                         "parallel.extract_sharded's packed tables for k > 30")
     T = 1 << k
 
     def step(table, hashes, valid):
@@ -62,10 +68,15 @@ def sharded_count_step(mesh: Mesh, k: int, cap: int = 3):
         tp_idx = jax.lax.axis_index("tp")
         tp_n = jax.lax.axis_size("tp")
         slice_size = T // tp_n
-        lo = tp_idx * slice_size
-        local = hashes.astype(jnp.int64) - lo
-        mine = valid & (local >= 0) & (local < slice_size)
-        local = jnp.where(mine, local, slice_size)  # OOB -> dropped
+        lo = (tp_idx * slice_size).astype(jnp.uint32)
+        # modular uint32 membership test — an int64 cast would silently
+        # compile as int32 without x64 and wrap for hashes >= 2^31
+        # (r3 MULTICHIP warning); unsigned wrap-around makes the single
+        # `< slice_size` compare exact for any shard offset
+        local_u = hashes.astype(jnp.uint32) - lo
+        mine = valid & (local_u < jnp.uint32(slice_size))
+        local = jnp.where(mine, local_u,
+                          jnp.uint32(slice_size)).astype(jnp.int32)
         delta = jnp.zeros(slice_size, jnp.int32).at[local].add(
             mine.astype(jnp.int32), mode="drop"
         )

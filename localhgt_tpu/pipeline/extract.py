@@ -150,19 +150,25 @@ def count_kmers(fq1, fq2, masks, cfg: Config, batch_reads=1 << 16,
             codes_j = jnp.asarray(codes)
             lengths_j = jnp.asarray(lengths)
             acc_j = jnp.asarray(acc)
+            # crop the k-mer start axis to the real window (64-bucketed so
+            # jit shapes stay stable): 150-bp reads in a 192-wide batch
+            # only have starts <= 118, and the sort is the device hot spot
+            lmax = int(b.lengths.max()) if b.n else 0
+            kw = (max(64, min(width, -(-(lmax - k + 1) // 64) * 64))
+                  if lmax >= k else 64)
             tables = count.count_reads_step(
                 tables, codes_j, lengths_j, acc_j, masks_j, k,
-                cfg.kmer.least_depth, clip=False,
+                cfg.kmer.least_depth, clip=False, kw=kw,
             )
             if cache is not None:
                 entry_bytes = codes.nbytes + lengths.nbytes + acc.nbytes
                 if dev_bytes + entry_bytes <= dev_limit:
-                    cache[path].append((codes_j, lengths_j, acc_j))
+                    cache[path].append((codes_j, lengths_j, acc_j, lmax))
                     dev_bytes += entry_bytes
                 elif host_bytes + entry_bytes <= host_limit:
                     # spill tier: the padded host arrays already exist —
                     # free now, one H2D upload at vote time
-                    cache[path].append((codes, lengths, acc))
+                    cache[path].append((codes, lengths, acc, lmax))
                     host_bytes += entry_bytes
                 else:
                     cache = None
@@ -353,8 +359,13 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
         sp = jnp.asarray(pset.sorted_peak)
     pc = jnp.asarray(pset.contig.astype(np.int32))
     masks_j = jnp.asarray(masks)
+
+    def _kw(width, lmax):
+        return (max(64, min(width, -(-(lmax - k + 1) // 64) * 64))
+                if lmax >= k else 64)
+
     if cache is not None:
-        for (c1, l1, a1), (c2, l2, _) in zip(cache[fq1], cache[fq2]):
+        for (c1, l1, a1, m1), (c2, l2, _, m2) in zip(cache[fq1], cache[fq2]):
             peak_filter = peaks_mod.split_vote_batch(
                 peak_filter,
                 jnp.asarray(c1), jnp.asarray(l1),
@@ -363,6 +374,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
                 masks_j, sh, sp, pc,
                 k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
                 rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
+                kw=_kw(c1.shape[1], max(m1, m2)),
             )
         return np.asarray(peak_filter)
     width = None
@@ -374,6 +386,8 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
                                 cfg.kmer.seed, cfg.kmer.strict_sampling)
         c1, l1, acc_p = _pad_read_batch(b1, acc, batch_reads, width)
         c2, l2, _ = _pad_read_batch(b2, acc, batch_reads, width)
+        lmax = int(max(b1.lengths.max() if b1.n else 0,
+                       b2.lengths.max() if b2.n else 0))
         peak_filter = peaks_mod.split_vote_batch(
             peak_filter,
             jnp.asarray(c1), jnp.asarray(l1),
@@ -382,6 +396,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
             masks_j, sh, sp, pc,
             k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
             rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
+            kw=_kw(width, lmax),
         )
     return np.asarray(peak_filter)
 

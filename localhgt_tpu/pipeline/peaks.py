@@ -212,16 +212,22 @@ def build_rankmap_host(hs: np.ndarray, ps: np.ndarray, k: int):
 
 def rank_lookup(wp, pids, h):
     """Device lookup: pid per uint32 hash (0 where absent). See RankMap.
-    Traceable — call inside a jit; all gathers are from 1-D arrays."""
+    Traceable — call inside a jit; all gathers are from 1-D arrays.
+
+    The bit tests use 32-entry LUT gathers instead of per-element variable
+    shifts: 1-D gathers are effectively free on this hardware (measured
+    ~free for 19M random gathers from a 1 GB operand) while per-lane
+    variable shift amounts lower poorly."""
     import jax.numpy as jnp
 
+    bit_lut = jnp.asarray([1 << b for b in range(32)], jnp.uint32)
+    low_lut = jnp.asarray([(1 << b) - 1 for b in range(32)], jnp.uint32)
     wi = (h >> jnp.uint32(5)).astype(jnp.int32)  # < 2^27 at k = 32
     word = wp[2 * wi].astype(jnp.uint32)
     pref = wp[2 * wi + 1]
-    bit = h & jnp.uint32(31)
-    present = ((word >> bit) & jnp.uint32(1)) == 1
-    below = jax.lax.population_count(
-        word & ((jnp.uint32(1) << bit) - jnp.uint32(1)))
+    bit = (h & jnp.uint32(31)).astype(jnp.int32)
+    present = (word & bit_lut[bit]) != 0
+    below = jax.lax.population_count(word & low_lut[bit])
     # misses clamp to row 0 so their gathers stay cache-resident
     rank = jnp.where(present, pref + below.astype(jnp.int32), 0)
     return jnp.where(present, pids[jnp.minimum(rank, pids.shape[0] - 1)], 0)
@@ -564,13 +570,13 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
 
 @partial(jax.jit,
          static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_rank"))
+                          "use_rank", "kw"))
 def split_vote_batch(
     peak_filter,
     codes1, len1, codes2, len2, accept,
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
-    rank_wp=None, rank_pids=None, use_rank: bool = False,
+    rank_wp=None, rank_pids=None, use_rank: bool = False, kw: int = 0,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -578,6 +584,10 @@ def split_vote_batch(
         peak_filter: int32 [P+1] vote counts (index 0 = sentinel).
         codes1/codes2: uint8 [B, L] mate code batches.
         accept: bool [B] down-sampling mask (same stream as counting).
+        kw: static crop of the k-mer start axis (max_len - k + 1, bucketed)
+            — positions past it are invalid anyway, and the map lookups +
+            greedy scan are the vote's whole cost (~1/3 saved at 150-bp
+            reads in 192-wide batches).
     Returns updated peak_filter.
     """
     import jax.numpy as jnp
@@ -585,6 +595,10 @@ def split_vote_batch(
     def candidates(codes, lengths):
         h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
         L = codes.shape[-1]
+        if kw and kw < L:
+            h = h[:, :, :kw]
+            v = v[:, :kw]
+            L = kw
         inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
         return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
                                   use_map, rank_wp, rank_pids, use_rank)

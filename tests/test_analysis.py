@@ -385,3 +385,90 @@ def test_jaccard_share():
     # one shared (within 50bp), one private in e2 -> 1 / (1 + 1)
     assert cohort.jaccard_share(e1, e2) == 0.5
     assert cohort.jaccard_share(e1, []) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# transfer_gene (analyze_transfer_gene.py reusable core)
+# ---------------------------------------------------------------------------
+
+
+def _mk_events():
+    from localhgt_tpu.analysis.mechanism import EventRow
+
+    # same donor segment inserted at two distinct sites (multi-site seg),
+    # plus a second segment seen once
+    return [
+        EventRow("s1", "gR_1", 5000, "gD_1", 10000, 14000, "False"),
+        EventRow("s2", "gR_1", 9000, "gD_1", 10020, 14040, "True"),
+        EventRow("s1", "gR_2", 700, "gD_2", 200, 900, "False"),
+    ]
+
+
+def test_transfer_times_counts_distinct_sites():
+    from localhgt_tpu.analysis import transfer_gene as tg
+
+    out = tg.transfer_times(_mk_events())
+    # two segments: gD_1 tag (sites 50 and 90) and gD_2 tag (one site)
+    assert out["n_segments"] == 2
+    assert out["site_histogram"] == {1: 1, 2: 1}
+    assert out["multiple_fraction"] == 0.5
+    assert out["per_sample_multiple"] == 0  # multi-site only across samples
+
+
+def test_gff_annotation_queries(tmp_path):
+    from localhgt_tpu.analysis import transfer_gene as tg
+
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "gD_1\tsrc\tCDS\t10100\t11000\t.\t+\t0\t"
+        "ID=g1;product=tetracycline resistance protein\n"
+        "gD_1\tsrc\tCDS\t13950\t16000\t.\t+\t0\t"
+        "ID=g2;product=DNA integrase\n"
+        "gD_1\tsrc\tCDS\t20000\t21000\t.\t+\t0\t"
+        "ID=g3;product=hypothetical protein\n"
+    )
+    ann = tg.GffAnnotation(str(gff))
+    # point query: within NEAR of g1's start
+    hits = ann.genes_at_point("gD_1", 10050)
+    assert any(h.get("ID") == "g1" for h in hits if isinstance(h, dict))
+    assert ann.genes_at_point("missing_genome", 5) == ["NA"]
+    # segment [10000, 14000]: g1 fully inside (covered), g2 only 50/2050
+    # covered -> below min_gene_frac, g3 outside
+    prods = ann.products_in_segment("gD_1", (10000, 14000))
+    assert prods == ["tetracycline resistance protein"]
+
+
+def test_classify_product_classes_and_order():
+    from localhgt_tpu.analysis import transfer_gene as tg
+
+    assert tg.classify_product("tetracycline resistance protein") == "ARG"
+    assert tg.classify_product("phage tail fiber") == "phage"
+    assert tg.classify_product("IS3 family transposase") == "transposon"
+    assert tg.classify_product("ribosomal protein L3") == "unclassified"
+    # last-match-wins ordering: a product matching both plasmid and ARG
+    # patterns classifies as ARG (the later pattern), like the reference
+    assert tg.classify_product("plasmid-borne beta-lactamase") == "ARG"
+    assert tg.is_IS("IS66 element") and not tg.is_IS("integrase")
+
+
+def test_product_class_counts_over_events(tmp_path):
+    from localhgt_tpu.analysis import transfer_gene as tg
+
+    gff = tmp_path / "genes.gff"
+    gff.write_text(
+        "gD_1\tsrc\tCDS\t10100\t11000\t.\t+\t0\tID=g1;product=IS3 transposase\n"
+        "gD_2\tsrc\tCDS\t250\t800\t.\t+\t0\tID=g4;product=capsid protein\n"
+    )
+    ann = tg.GffAnnotation(str(gff))
+    out = tg.product_class_counts(_mk_events(), ann)
+    # gD_1 segment appears in TWO events -> transposon counted twice
+    assert out["transposon"] == 2 and out["IS_elements"] == 2
+    assert out["phage"] == 1
+
+
+def test_merge_intervals_and_lengths():
+    from localhgt_tpu.analysis import transfer_gene as tg
+
+    assert tg.merge_intervals([(5, 9), (1, 3), (2, 4)]) == [(1, 4), (5, 9)]
+    st = tg.gene_length_stats(_mk_events())
+    assert st["n"] == 3 and st["median"] == 4000.0

@@ -123,3 +123,42 @@ def test_packed_clip_and_lookup_roundtrip():
     np.testing.assert_array_equal(looked, [3, 3])
     assert count.clip_every_batches(31) == 4
     assert count.clip_every_batches(30) == 38
+
+
+def test_count_reads_step_packed_duplicates_oracle():
+    """The unique-scatter path (run-length deltas + per-field unique
+    scatters on the packed k>30 table) must equal min(total, cap) computed
+    by the host oracle — heavy duplicates within and across batches, so
+    run merging, field splitting and the deferred clip all engage."""
+    import jax.numpy as jnp
+
+    k = 31
+    masks, cc = encode.hasher_for(k, 1, seed=3)
+    rng = np.random.default_rng(5)
+    B, L = 8, 48
+    # half the reads identical: every k-mer occurs >= 4 > cap times
+    base = rng.integers(0, 4, size=L).astype(np.uint8)
+    codes = np.tile(base, (B, 1))
+    codes[5:] = rng.integers(0, 4, size=(B - 5, L)).astype(np.uint8)
+    lengths = np.full(B, L, np.int32)
+    accept = np.ones(B, bool)
+
+    tables = (count.make_table(k),)
+    for _ in range(2):  # two batches: deferred-clip headroom engages
+        tables = count.count_reads_step(
+            tables, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(accept), masks, k, clip=False, kw=64)
+    tables = count.clip_tables(tables, 3)
+
+    exp = np.zeros(1 << k, np.int64)
+    for _ in range(2):
+        for b in range(B):
+            h, v = coder.reference_kmer_hashes(codes[b], cc, k)
+            np.add.at(exp, h[v, 0].astype(np.int64), 1)
+    nz = np.flatnonzero(exp)
+    got = np.asarray(count.table_lookup(tables[0], jnp.asarray(nz.astype(np.uint32))))
+    np.testing.assert_array_equal(got, np.minimum(exp[nz], 3).astype(np.int8))
+    # and everything else is zero
+    total_nonzero = int((np.asarray(tables[0]) != 0).sum())
+    words = np.unique(nz >> 3)
+    assert total_nonzero <= len(words)

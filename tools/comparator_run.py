@@ -32,7 +32,8 @@ if os.environ.get("LHT_FORCE_CPU"):
     jax.config.update("jax_platforms", "cpu")
 
 
-def run(workdir: str = "/tmp/lht_comp", k: int = 32) -> dict:
+def run(workdir: str = "/tmp/lht_comp", k: int = 32, pa=None,
+        fixture_label: str = "species20 snp0.01 depth10 seed42") -> dict:
     from localhgt_tpu.config import Config, KmerConfig
     from localhgt_tpu.pipeline.bkp import detect_breakpoint
     from localhgt_tpu.sim import evaluate
@@ -40,8 +41,8 @@ def run(workdir: str = "/tmp/lht_comp", k: int = 32) -> dict:
     from localhgt_tpu.tools import ab_reference
 
     os.makedirs(workdir, exist_ok=True)
-    pa = SimParams(n_genomes=20, genome_len=150_000, hgt_num=10, depth=10,
-                   snp_rate=0.01, seed=42)
+    pa = pa or SimParams(n_genomes=20, genome_len=150_000, hgt_num=10,
+                         depth=10, snp_rate=0.01, seed=42)
     ref, fq1, fq2, truth_path = simulate_sample(workdir, "cmp", pa)
     truth = read_truth(truth_path)
     true_bkps = evaluate.truth_to_bkps(truth)
@@ -100,7 +101,7 @@ def run(workdir: str = "/tmp/lht_comp", k: int = 32) -> dict:
         table["lemon"] = {"stage": "full (external run)", "recall": s.recall,
                           "fdr": s.fdr, "f1": s.f1}
 
-    out = {"fixture": "species20 snp0.01 depth10 seed42", "k": k,
+    out = {"fixture": fixture_label, "k": k,
            "tolerance_bp": 50, "rows": table}
     csv_path = os.path.join(workdir, "comparator.csv")
     cols = ["tool", "stage", "recall", "fdr", "f1", "n_called",
