@@ -100,6 +100,10 @@ def _other_tpu_processes():
             continue
         if not cmd:
             continue
+        # the axon tunnel daemon (.tpu_init.py) inherits JAX_PLATFORMS=axon
+        # but IS the tunnel, not a chip client — never a contender
+        if ".tpu_init" in cmd:
+            continue
         tpuish = ("JAX_PLATFORMS=axon" in env and "python" in cmd) or \
             ("bench.py" in cmd)
         if tpuish:

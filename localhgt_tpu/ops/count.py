@@ -222,10 +222,22 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
     flat = jnp.where(valid.reshape(1, -1),
                      hashes.reshape(C, -1).astype(jnp.uint32), SENTINEL)
     s_all = jnp.sort(flat, axis=1)
-    live, delta = sorted_run_deltas(s_all, cap)
+    # rank-capped per-entry contribs + ONE conflict-serialized scatter per
+    # table. Measured on the live chip (tools/micro_count.py, [3, 8.4M]
+    # k=32): this scatter is 119 ms/table; the per-unique-hash variant
+    # (scatter_unique, 8 per-field unique scatters on packed tables) is
+    # 766 ms/table — XLA's duplicate handling of an already-sorted stream
+    # beats eight sparse unique passes, so the "optimization" lost 6.4x.
+    N = s_all.shape[1]
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (C, N))
+    is_start = jnp.concatenate(
+        [jnp.ones((C, 1), bool), s_all[:, 1:] != s_all[:, :-1]], axis=1)
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    contrib = (((pos - run_start) < cap)
+               & (s_all != SENTINEL)).astype(jnp.int8)
     new_tables = []
     for i, t in enumerate(tables):
-        t = scatter_unique(t, s_all[i], live[i], delta[i])
+        t = scatter_delta(t, s_all[i], contrib[i])
         if clip:
             t = jnp.minimum(t, jnp.int8(cap))
         new_tables.append(t)
