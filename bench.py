@@ -50,8 +50,16 @@ LOCK_PATH = os.path.join(FIXTURE_DIR, ".bench.lock")
 
 SCALES = {
     # name: (n_genomes, genome_len, hgt_num, depth, two-pass?)
+    # two-pass: pass 1 absorbs one-time costs (server-side XLA compile /
+    # executable load through the axon tunnel — measured 70-400 s PER
+    # PROCESS for the heavy programs even on a persistent-cache HIT, round-4
+    # forensics in tools/micro_count.py), pass 2 is the steady-state number.
+    # Both walls are reported (wall_s / wall_cold_s, vs_baseline /
+    # vs_baseline_cold); the reference anchor (~1800 pairs/s over a 2 h run,
+    # README.md:6) is itself a steady-state figure, and the one-time cost
+    # amortizes over the 8x-larger headline sample.
     "species20": (20, 150_000, 10, 10, True),
-    "big": (100, 1_000_000, 50, 5, False),
+    "big": (100, 1_000_000, 50, 5, True),
     # scale proof (r2 VERDICT ask #3): >= 1 Gbp reference / >= 10M pairs —
     # the headline workload's shape (multi-Gbp UHGG, 13M pairs at the 2 Gbp
     # down-sample). One-pass; run as LHT_BENCH_SCALE=scale1g python bench.py,
@@ -233,6 +241,8 @@ def main():
         "value": round(pairs_per_sec, 1),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+        "vs_baseline_cold": round(
+            n_pairs / wall_cold / BASELINE_PAIRS_PER_SEC, 3),
         "wall_s": round(wall, 1),
         "wall_cold_s": round(wall_cold, 1),
         "sim_wall_s": round(sim_wall, 1),

@@ -112,11 +112,19 @@ def _pack_seeds_at(codes: np.ndarray, s: int, starts: np.ndarray):
     return h, bad == 0
 
 
+PREFILTER_LEN = 16  # seed-prefix bases for the device membership test (32 bits)
+
+
 @dataclass
 class SeedIndex:
     s: int
     sorted_hash: np.ndarray   # uint64 [K]
     sorted_pos: np.ndarray    # int64 [K]
+    # sorted unique 32-bit hashes of the first PREFILTER_LEN seed bases,
+    # padded to a pow2 bucket (pad = last element, keeps order + membership):
+    # the device prefilter tests read windows against this set
+    prefix32: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
+    _prefix_dev: object = None
 
     @classmethod
     def build(cls, subref: SubRef, s: int):
@@ -124,7 +132,15 @@ class SeedIndex:
         pos = np.flatnonzero(valid).astype(np.int64)
         hv = h[valid]
         order = np.argsort(hv, kind="stable")
-        return cls(s, hv[order], pos[order])
+        hv = hv[order]
+        pre = np.unique(
+            (hv >> np.uint64(2 * (s - PREFILTER_LEN))).astype(np.uint32)
+        ) if s >= PREFILTER_LEN and len(hv) else np.zeros(0, np.uint32)
+        if len(pre):
+            cap = 1 << (len(pre) - 1).bit_length()
+            pre = np.concatenate(
+                [pre, np.full(cap - len(pre), pre[-1], np.uint32)])
+        return cls(s, hv, pos[order], prefix32=pre)
 
     def lookup(self, query_hash: np.ndarray, max_occ: int):
         """Return (hit_query_idx, hit_pos): up to max_occ subref positions per
@@ -288,6 +304,117 @@ def _bwa_mapq(p_score, comp_score, sub_n, aln_len, cfg) -> np.ndarray:
     return np.where(sub >= score, 0, mapq).astype(np.int16)
 
 
+_PF_JIT = None
+
+
+def _seed_prefilter(codes: np.ndarray, lengths: np.ndarray, index: "SeedIndex"):
+    """Device prefilter: bool [B] — True iff the read has ANY window whose
+    PREFILTER_LEN-base hash (forward or reverse-complement frame) is the
+    prefix of some indexed seed. Exact membership (sorted searchsorted), so
+    there are NO false negatives vs the host seeding path: every read the
+    host could seed passes; false positives (prefix collisions, dropped
+    strides, seeds later failing min_votes) only cost the host a re-check.
+
+    At reference scale ~99% of reads never touch the extracted sub-reference
+    (pipeline.sh:48 maps everything and samtools -q drops them); this keeps
+    those reads off the 2-core host seeding path entirely — the align-stage
+    analogue of the k-mer extraction trick itself."""
+    global _PF_JIT
+    import jax
+    import jax.numpy as jnp
+
+    if _PF_JIT is None:
+        from functools import partial as _p
+
+        @jax.jit
+        def build_bitmap(pre):
+            # exact 2^32-bit presence bitmap over the prefix space (512 MB
+            # HBM): DISTINCT prefixes map to distinct (word, bit) cells, so
+            # a scatter-ADD of single bits is an exact OR. pre is sorted
+            # with its pow2 padding duplicating the tail value — repeated
+            # adds of the same bit would carry into the neighbor bit, so
+            # only each run's first entry scatters
+            uniq = jnp.concatenate(
+                [jnp.ones(1, bool), pre[1:] != pre[:-1]])
+            w = jnp.where(
+                uniq, (pre >> jnp.uint32(5)).astype(jnp.int32),
+                jnp.int32(1 << 27))
+            bit = (pre & jnp.uint32(31)).astype(jnp.uint32)
+            val = jax.lax.bitcast_convert_type(jnp.uint32(1) << bit,
+                                               jnp.int32)
+            return jnp.zeros(1 << 27, jnp.int32).at[w].add(val, mode="drop")
+
+        @_p(jax.jit, static_argnames=("pl",))
+        def pf(codes, lengths, bm, pl):
+            B, L = codes.shape
+            n = L - pl + 1
+            hf = jnp.zeros((B, n), jnp.uint32)
+            hr = jnp.zeros((B, n), jnp.uint32)
+            bad = jnp.zeros((B, n), jnp.int32)
+            for z in range(pl):
+                col = codes[:, z : z + n]
+                hf = (hf << jnp.uint32(2)) | (col & 3).astype(jnp.uint32)
+                hr = hr | (((3 - col) & 3).astype(jnp.uint32)
+                           << jnp.uint32(2 * z))
+                bad = bad + (col >= 4).astype(jnp.int32)
+            inwin = (jnp.arange(n, dtype=jnp.int32)[None, :]
+                     <= lengths[:, None] - pl)
+            ok = (bad == 0) & inwin
+            bmu = jax.lax.bitcast_convert_type(bm, jnp.uint32)
+
+            def member(h):
+                # ONE independent gather + bit test per probe: a sorted-
+                # array binary search here was 18 *dependent* gathers and
+                # ran 1.6 s/batch (tools/micro_count.py pieces); the
+                # bitmap probe measures ~0 ms
+                w = bmu[(h >> jnp.uint32(5)).astype(jnp.int32)]
+                return ((w >> (h & jnp.uint32(31))) & 1) != 0
+
+            hit = ok & (member(hf) | member(hr))
+            return jnp.any(hit, axis=1)
+
+        _PF_JIT = (build_bitmap, pf)
+
+    build_bitmap, pf = _PF_JIT
+    if index._prefix_dev is None:
+        object.__setattr__(
+            index, "_prefix_dev", build_bitmap(jnp.asarray(index.prefix32)))
+    return np.asarray(pf(jnp.asarray(codes), jnp.asarray(lengths),
+                         index._prefix_dev, PREFILTER_LEN))
+
+
+def _expand_table(t: AlnTable, pf_idx: np.ndarray, read_ids: np.ndarray,
+                  lengths: np.ndarray, mate: int) -> AlnTable:
+    """Scatter a prefilter-subset AlnTable back to full batch rows; rows the
+    prefilter dropped are unmapped (contig -1), exactly what the full path
+    returns for reads with no seed hits."""
+    n = len(read_ids)
+    full = AlnTable(
+        read_id=read_ids.astype(np.int64),
+        mate=np.full(n, mate, np.int8),
+        contig=np.full(n, -1, np.int32),
+        pos=np.zeros(n, np.int64),
+        rend=np.zeros(n, np.int64),
+        strand=np.zeros(n, np.int8),
+        qstart=np.zeros(n, np.int32),
+        qend=np.zeros(n, np.int32),
+        score=np.zeros(n, np.int32),
+        mapq=np.zeros(n, np.int16),
+        rlen=lengths.astype(np.int32),
+        contig2=np.full(n, -1, np.int32),
+        pos2=np.zeros(n, np.int64),
+        rend2=np.zeros(n, np.int64),
+        strand2=np.zeros(n, np.int8),
+        qstart2=np.zeros(n, np.int32),
+        qend2=np.zeros(n, np.int32),
+        score2=np.zeros(n, np.int32),
+        has_alt=np.zeros(n, bool),
+    )
+    for f in AlnTable.__dataclass_fields__:
+        getattr(full, f)[pf_idx] = getattr(t, f)
+    return full
+
+
 def _revcomp_batch(codes: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Reverse-complement padded reads, keeping padding at the tail."""
     B, L = codes.shape
@@ -320,6 +447,25 @@ def align_batch(
     import jax.numpy as jnp
 
     from localhgt_tpu.ops import sw as swmod
+
+    # --- device prefilter: drop reads with no possible seed hit before any
+    # host seeding work (see _seed_prefilter) ---
+    pf_idx = None
+    full_ids, full_lengths = read_ids, lengths
+    if (len(index.prefix32)
+            and os.environ.get("LHT_SEED_PREFILTER", "1") != "0"):
+        hitmask = _seed_prefilter(codes, lengths, index)
+        pf_idx = np.flatnonzero(hitmask)
+        from localhgt_tpu.utils import metrics
+
+        metrics.add("prefilter_in", len(codes))
+        metrics.add("prefilter_kept", len(pf_idx))
+        if len(pf_idx) == 0:
+            return _expand_table(AlnTable.empty(), pf_idx, full_ids,
+                                 full_lengths, mate)
+        codes = codes[pf_idx]
+        lengths = lengths[pf_idx]
+        read_ids = read_ids[pf_idx]
 
     B, L = codes.shape
     C = cfg.max_candidates
@@ -508,7 +654,7 @@ def align_batch(
     _, orig_end2, _ = subref.lift(pick2(re_))
 
     n = B
-    return AlnTable(
+    table = AlnTable(
         read_id=read_ids.astype(np.int64),
         mate=np.full(n, mate, np.int8),
         contig=np.where(mapped, contig, -1).astype(np.int32),
@@ -529,3 +675,6 @@ def align_batch(
         score2=np.where(has_split, pick2(score), 0).astype(np.int32),
         has_alt=mapped & has_alt,
     )
+    if pf_idx is not None:
+        return _expand_table(table, pf_idx, full_ids, full_lengths, mate)
+    return table

@@ -569,8 +569,23 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
 
 
 @partial(jax.jit,
-         static_argnames=("k", "min_base_num", "n_slots", "use_map",
-                          "use_rank", "kw"))
+         static_argnames=("k", "use_map", "use_rank", "kw"))
+def _vote_candidates(codes, lengths, masks, sorted_hash, sorted_peak,
+                     rank_wp, rank_pids,
+                     k: int, use_map: bool, use_rank: bool, kw: int):
+    import jax.numpy as jnp
+
+    h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
+    L = codes.shape[-1]
+    if kw and kw < L:
+        h = h[:, :, :kw]
+        v = v[:, :kw]
+        L = kw
+    inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
+    return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
+                              use_map, rank_wp, rank_pids, use_rank)
+
+
 def split_vote_batch(
     peak_filter,
     codes1, len1, codes2, len2, accept,
@@ -589,22 +604,25 @@ def split_vote_batch(
             greedy scan are the vote's whole cost (~1/3 saved at 150-bp
             reads in 192-wide batches).
     Returns updated peak_filter.
+
+    Deliberately NOT one fused jit: the candidate lookup, the greedy vote
+    kernel and the filter scatter are three separate dispatches. Fused into
+    one program, XLA schedules the [C, B, 2*kw] candidate tensors through
+    re-materialized fusions and the step ran 4151 ms on the live chip; as
+    separate dispatches the same work measures ~600 ms
+    (tools/micro_vote.py), and three enqueues cost ~nothing next to that.
     """
-    import jax.numpy as jnp
+    pk1 = _vote_candidates(codes1, len1, masks, sorted_hash, sorted_peak,
+                           rank_wp, rank_pids, k, use_map, use_rank, kw)
+    pk2 = _vote_candidates(codes2, len2, masks, sorted_hash, sorted_peak,
+                           rank_wp, rank_pids, k, use_map, use_rank, kw)
+    return _vote_core_jit(peak_filter, pk1, pk2, peak_contig, accept,
+                          min_base_num, n_slots)
 
-    def candidates(codes, lengths):
-        h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
-        L = codes.shape[-1]
-        if kw and kw < L:
-            h = h[:, :, :kw]
-            v = v[:, :kw]
-            L = kw
-        inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
-        return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
-                                  use_map, rank_wp, rank_pids, use_rank)
 
-    pk1 = candidates(codes1, len1)
-    pk2 = candidates(codes2, len2)
+@partial(jax.jit, static_argnames=("min_base_num", "n_slots"))
+def _vote_core_jit(peak_filter, pk1, pk2, peak_contig, accept,
+                   min_base_num: int, n_slots: int):
     return _vote_core(peak_filter, pk1, pk2, peak_contig, accept,
                       min_base_num, n_slots)
 
