@@ -448,6 +448,13 @@ def align_batch(
 
     from localhgt_tpu.ops import sw as swmod
 
+    import time as _time
+
+    from localhgt_tpu.utils import metrics
+
+    dbg = os.environ.get("LHT_ALIGN_DEBUG")
+    _t0 = _time.perf_counter()
+
     # --- device prefilter: drop reads with no possible seed hit before any
     # host seeding work (see _seed_prefilter) ---
     pf_idx = None
@@ -456,8 +463,6 @@ def align_batch(
             and os.environ.get("LHT_SEED_PREFILTER", "1") != "0"):
         hitmask = _seed_prefilter(codes, lengths, index)
         pf_idx = np.flatnonzero(hitmask)
-        from localhgt_tpu.utils import metrics
-
         metrics.add("prefilter_in", len(codes))
         metrics.add("prefilter_kept", len(pf_idx))
         if len(pf_idx) == 0:
@@ -466,6 +471,9 @@ def align_batch(
         codes = codes[pf_idx]
         lengths = lengths[pf_idx]
         read_ids = read_ids[pf_idx]
+    if dbg:
+        metrics.record("align_pf_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
 
     B, L = codes.shape
     C = cfg.max_candidates
@@ -518,6 +526,10 @@ def align_batch(
                 )
                 + (strand,)
             )
+
+    if dbg:
+        metrics.record("align_seed_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
 
     # merge strands: 2C candidates per read
     diag_all = np.concatenate([c[0] for c in cand], axis=1)
@@ -573,6 +585,10 @@ def align_batch(
         qe[b_idx, c_idx] = out["qend"][:n_sel]
         rs[b_idx, c_idx] = out["rstart"][:n_sel] + ws
         re_[b_idx, c_idx] = out["rend"][:n_sel] + ws
+
+    if dbg:
+        metrics.record("align_sw_s", _time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
 
     # --- per-candidate segment validity ---
     # A candidate whose extension spans the N separator between two subref
@@ -675,6 +691,8 @@ def align_batch(
         score2=np.where(has_split, pick2(score), 0).astype(np.int32),
         has_alt=mapped & has_alt,
     )
+    if dbg:
+        metrics.record("align_tail_s", _time.perf_counter() - _t0)
     if pf_idx is not None:
         return _expand_table(table, pf_idx, full_ids, full_lengths, mate)
     return table

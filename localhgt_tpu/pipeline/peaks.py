@@ -612,6 +612,27 @@ def split_vote_batch(
     separate dispatches the same work measures ~600 ms
     (tools/micro_vote.py), and three enqueues cost ~nothing next to that.
     """
+    import os as _os
+
+    if _os.environ.get("LHT_VOTE_DEBUG"):
+        import time as _time
+
+        from localhgt_tpu.utils import metrics
+
+        t0 = _time.perf_counter()
+        pk1 = jax.block_until_ready(_vote_candidates(
+            codes1, len1, masks, sorted_hash, sorted_peak,
+            rank_wp, rank_pids, k, use_map, use_rank, kw))
+        pk2 = jax.block_until_ready(_vote_candidates(
+            codes2, len2, masks, sorted_hash, sorted_peak,
+            rank_wp, rank_pids, k, use_map, use_rank, kw))
+        metrics.record("vote_lookup_s", _time.perf_counter() - t0)
+        t0 = _time.perf_counter()
+        out = jax.block_until_ready(_vote_core_jit(
+            peak_filter, pk1, pk2, peak_contig, accept,
+            min_base_num, n_slots))
+        metrics.record("vote_core_s", _time.perf_counter() - t0)
+        return out
     pk1 = _vote_candidates(codes1, len1, masks, sorted_hash, sorted_peak,
                            rank_wp, rank_pids, k, use_map, use_rank, kw)
     pk2 = _vote_candidates(codes2, len2, masks, sorted_hash, sorted_peak,
