@@ -2,12 +2,15 @@
 """Benchmark: end-to-end HGT breakpoint detection throughput on one chip.
 
 Default workload (LHT_BENCH_SCALE=big): 100 genomes / ~100 Mbp reference /
-~1.7M read pairs at the reference's default k=32 — a size where one-time
-costs (compile, cache warmup, tunnel buffer reclamation) are <10% of wall,
-approximating the reference's headline workload shape (a human-gut sample
-vs a large reference, README.md:6). LHT_BENCH_SCALE=species20 keeps the
-small smoke fixture for quick iteration; LHT_BENCH_SCALE=scale1g is the
->=1 Gbp / >=10M-pair scale proof (recorded to reports/SCALE_r4.json).
+~1.7M read pairs at the reference's default k=32, two-pass (pass 1 absorbs
+the one-time server-side compile/executable-load costs, which measured
+70-400 s per process through the axon tunnel — NOT <10% of wall; see
+SCALES), approximating the reference's headline workload shape (a
+human-gut sample vs a large reference, README.md:6). The JSON records the
+pass mode (`two_pass`) so rounds are methodologically comparable.
+LHT_BENCH_SCALE=species20 keeps the small smoke fixture for quick
+iteration; LHT_BENCH_SCALE=scale1g is the >=1 Gbp / >=10M-pair scale
+proof (recorded to reports/SCALE_r5.json).
 
 Prints ONE JSON line:
 
@@ -213,10 +216,11 @@ def main():
 
     from localhgt_tpu.pipeline.bkp import detect_breakpoint
 
-    # First pass absorbs one-time costs (XLA compile on a cold cache; the
-    # tunneled device's reclamation of previous clients' buffers). On the
-    # big fixture those are <10% of wall, so a single timed pass suffices;
-    # the small fixture keeps the two-pass cold/steady split.
+    # Pass 1 absorbs one-time costs (server-side XLA compile / executable
+    # load through the axon tunnel, 70-400 s per process even on a cache
+    # hit — see SCALES); pass 2 is the steady-state number. Both walls are
+    # reported (wall_s / wall_cold_s), and `two_pass` in the JSON records
+    # which methodology produced the headline value.
     t0 = time.time()
     acc = detect_breakpoint(ref, fq1, fq2, sample, out, cfg=cfg)
     wall_cold = time.time() - t0
@@ -253,6 +257,7 @@ def main():
         "k": k,
         "scale": scale,
         "platform": platform,
+        "two_pass": bool(two_pass),
         "stage_walls": metrics.stage_walls(),
         "stage_rss_gb": metrics.stage_rss(),
     }
@@ -275,9 +280,9 @@ def main():
     try:
         os.makedirs(reports, exist_ok=True)
         with open(os.path.join(reports, "perf_trend.jsonl"), "a") as f:
-            f.write(json.dumps({"round": 4, **rec}) + "\n")
+            f.write(json.dumps({"round": 5, **rec}) + "\n")
         if scale == "scale1g":
-            with open(os.path.join(reports, "SCALE_r4.json"), "w") as f:
+            with open(os.path.join(reports, "SCALE_r5.json"), "w") as f:
                 json.dump(rec, f, indent=1)
     except OSError:
         pass

@@ -90,6 +90,20 @@ def capped_batch_delta(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
     return s[0], contrib[0]
 
 
+def rank_capped_contrib(s: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Per-entry int8 contribution from SORTED hashes s [C, N]: the first
+    `cap` entries of each run contribute 1, the rest 0 — so the scatter-add
+    total per hash is exactly min(run_length, cap). The single shared
+    post-sort kernel of both count paths (r4 ADVICE: count_reads_step had
+    inlined a drifting copy)."""
+    C, N = s.shape
+    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (C, N))
+    is_start = jnp.concatenate(
+        [jnp.ones((C, 1), bool), s[:, 1:] != s[:, :-1]], axis=1)
+    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
+    return (((pos - run_start) < cap) & (s != SENTINEL)).astype(jnp.int8)
+
+
 def capped_batch_delta_multi(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
     """Batched variant: idx [C, N] (one row per hash function), valid [N].
 
@@ -97,18 +111,10 @@ def capped_batch_delta_multi(idx: jnp.ndarray, valid: jnp.ndarray, cap: int):
     XLA sort is the compile-time hog of the count step (~16 s per instance on
     this backend), so batching it cuts cold-start by ~2x.
     """
-    C, N = idx.shape[0], idx.reshape(idx.shape[0], -1).shape[1]
-    flat = jnp.where(valid.reshape(1, -1), idx.reshape(C, -1).astype(jnp.uint32),
-                     SENTINEL)
+    flat = jnp.where(valid.reshape(1, -1), idx.reshape(idx.shape[0], -1)
+                     .astype(jnp.uint32), SENTINEL)
     s = jnp.sort(flat, axis=1)
-    pos = jnp.arange(N, dtype=jnp.int32)[None, :]
-    is_start = jnp.concatenate(
-        [jnp.ones((C, 1), bool), s[:, 1:] != s[:, :-1]], axis=1
-    )
-    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
-    rank = pos - run_start
-    contrib = ((rank < cap) & (s != SENTINEL)).astype(jnp.int8)
-    return s, contrib
+    return s, rank_capped_contrib(s, cap)
 
 
 def scatter_delta(table, s, contrib):
@@ -144,6 +150,10 @@ def count_batch(table, hashes, valid, cap: int = 3):
 def sorted_run_deltas(s: jnp.ndarray, cap: int):
     """Per-unique-hash batch deltas from sorted hashes.
 
+    NOT on the production path (tools/micro_count.py only): the
+    unique-index scatter it feeds measured 6.4x slower than the
+    conflict-serialized form on the live chip — see count_reads_step.
+
     s: uint32 [C, N] sorted ascending per row (SENTINEL tail). Returns
     (live bool [C, N], delta int32 [C, N]): live marks the FIRST entry of
     each hash run; delta there = min(run_length, cap) — identical to the
@@ -166,7 +176,8 @@ def sorted_run_deltas(s: jnp.ndarray, cap: int):
 
 def scatter_unique(table, s, live, delta):
     """Scatter per-unique-hash deltas (sorted_run_deltas output) with
-    unique indices.
+    unique indices. NOT on the production path (tools/micro_count.py
+    only) — see sorted_run_deltas.
 
     Plain (k <= 30) tables: live entries have distinct hashes, so the
     int8 scatter is directly unique. Packed tables: distinct hashes can
@@ -228,13 +239,7 @@ def count_reads_step(tables, codes, lengths, accept, masks, k: int,
     # (scatter_unique, 8 per-field unique scatters on packed tables) is
     # 766 ms/table — XLA's duplicate handling of an already-sorted stream
     # beats eight sparse unique passes, so the "optimization" lost 6.4x.
-    N = s_all.shape[1]
-    pos = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (C, N))
-    is_start = jnp.concatenate(
-        [jnp.ones((C, 1), bool), s_all[:, 1:] != s_all[:, :-1]], axis=1)
-    run_start = jax.lax.cummax(jnp.where(is_start, pos, 0), axis=1)
-    contrib = (((pos - run_start) < cap)
-               & (s_all != SENTINEL)).astype(jnp.int8)
+    contrib = rank_capped_contrib(s_all, cap)
     new_tables = []
     for i, t in enumerate(tables):
         t = scatter_delta(t, s_all[i], contrib[i])

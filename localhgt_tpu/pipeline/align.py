@@ -307,13 +307,33 @@ def _bwa_mapq(p_score, comp_score, sub_n, aln_len, cfg) -> np.ndarray:
 _PF_JIT = None
 
 
-def _seed_prefilter(codes: np.ndarray, lengths: np.ndarray, index: "SeedIndex"):
-    """Device prefilter: bool [B] — True iff the read has ANY window whose
+def seed_prefilter_device(codes, lengths, index: "SeedIndex"):
+    """Enqueue the device membership prefilter and return the DEVICE bool
+    array (caller collects with np.asarray when needed) — so a driver can
+    keep a window of prefilter dispatches in flight instead of paying one
+    tunnel round-trip per batch (the round-4 align stage spent most of its
+    66 s exactly there). codes/lengths may be device-resident already (the
+    stage-A cache), in which case no H2D happens either."""
+    import jax.numpy as jnp
+
+    _ensure_pf_jit()
+    build_bitmap, pf = _PF_JIT
+    if index._prefix_dev is None:
+        object.__setattr__(
+            index, "_prefix_dev", build_bitmap(jnp.asarray(index.prefix32)))
+    return pf(jnp.asarray(codes), jnp.asarray(lengths),
+              index._prefix_dev, PREFILTER_LEN)
+
+
+def _ensure_pf_jit():
+    """Build the (bitmap-build, probe) jit pair once.
+
+    The probe: bool [B] — True iff the read has ANY window whose
     PREFILTER_LEN-base hash (forward or reverse-complement frame) is the
-    prefix of some indexed seed. Exact membership (sorted searchsorted), so
-    there are NO false negatives vs the host seeding path: every read the
-    host could seed passes; false positives (prefix collisions, dropped
-    strides, seeds later failing min_votes) only cost the host a re-check.
+    prefix of some indexed seed. Exact membership, so there are NO false
+    negatives vs the host seeding path: every read the host could seed
+    passes; false positives (prefix collisions, dropped strides, seeds
+    later failing min_votes) only cost the host a re-check.
 
     At reference scale ~99% of reads never touch the extracted sub-reference
     (pipeline.sh:48 maps everything and samtools -q drops them); this keeps
@@ -375,12 +395,10 @@ def _seed_prefilter(codes: np.ndarray, lengths: np.ndarray, index: "SeedIndex"):
 
         _PF_JIT = (build_bitmap, pf)
 
-    build_bitmap, pf = _PF_JIT
-    if index._prefix_dev is None:
-        object.__setattr__(
-            index, "_prefix_dev", build_bitmap(jnp.asarray(index.prefix32)))
-    return np.asarray(pf(jnp.asarray(codes), jnp.asarray(lengths),
-                         index._prefix_dev, PREFILTER_LEN))
+
+def _seed_prefilter(codes, lengths, index: "SeedIndex") -> np.ndarray:
+    """Synchronous form of seed_prefilter_device (single-batch callers)."""
+    return np.asarray(seed_prefilter_device(codes, lengths, index))
 
 
 def _expand_table(t: AlnTable, pf_idx: np.ndarray, read_ids: np.ndarray,
@@ -437,13 +455,19 @@ def align_batch(
     cfg: AlignConfig,
     threads: int = 8,
     mesh=None,
+    pf_mask: np.ndarray | None = None,
 ) -> AlnTable:
     """Align one batch of single-end reads; returns per-read records
     (unmapped reads included with contig=-1 so pairing stays positional).
 
     `mesh`: shard the SW extension over a device mesh (data parallel on
     the candidate-row axis, ops.sw.sw_align_sharded) — per-row results are
-    independent, so the output is bit-identical to single-device."""
+    independent, so the output is bit-identical to single-device.
+
+    `pf_mask`: precomputed seed-prefilter result for this batch (bool [B],
+    from seed_prefilter_device) — lets the caller pipeline prefilter
+    dispatches across batches instead of one synchronous round-trip per
+    call here."""
     import jax.numpy as jnp
 
     from localhgt_tpu.ops import sw as swmod
@@ -459,12 +483,17 @@ def align_batch(
     # host seeding work (see _seed_prefilter) ---
     pf_idx = None
     full_ids, full_lengths = read_ids, lengths
-    if (len(index.prefix32)
+    if pf_mask is not None or (
+            len(index.prefix32)
             and os.environ.get("LHT_SEED_PREFILTER", "1") != "0"):
-        hitmask = _seed_prefilter(codes, lengths, index)
+        hitmask = (pf_mask if pf_mask is not None
+                   else _seed_prefilter(codes, lengths, index))
         pf_idx = np.flatnonzero(hitmask)
-        metrics.add("prefilter_in", len(codes))
-        metrics.add("prefilter_kept", len(pf_idx))
+        # count only real rows: pow2-padding rows (length 0) inflate the
+        # input count and understate the keep ratio (r4 ADVICE low)
+        real = lengths > 0
+        metrics.add("prefilter_in", int(real.sum()))
+        metrics.add("prefilter_kept", int((hitmask & real).sum()))
         if len(pf_idx) == 0:
             return _expand_table(AlnTable.empty(), pf_idx, full_ids,
                                  full_lengths, mate)

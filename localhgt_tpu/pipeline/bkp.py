@@ -164,33 +164,85 @@ def detect_breakpoint(
     # ~130 Mbp on the 1 Gbp fixture) seed hits per read multiply, so the
     # batch shrinks to bound the per-batch hit/grouping temporaries.
     batch_reads = 1 << 16 if len(subref.codes) < (32 << 20) else 1 << 14
-    width = None
+    use_pf = bool(len(index.prefix32)) and \
+        os.environ.get("LHT_SEED_PREFILTER", "1") != "0"
+    # the stage-A code cache feeds alignment directly: no FASTQ re-read,
+    # and device-tier entries run the seed prefilter with no H2D upload
+    # either. Only usable with the prefilter on — without it, the host
+    # seeding path needs the smaller batch_reads granularity at scale.
+    cache = getattr(res, "cache", None) if use_kmer else None
+    if cache is not None and (
+        not use_pf
+        or any(e1.n != e2.n for e1, e2 in zip(cache[fq1], cache[fq2]))
+    ):
+        cache = None
+
+    def raw_batches():
+        """(pf1_input, l1, c1_np, l1_np, pf2_input, l2, c2_np, l2_np, n)"""
+        if cache is not None:
+            for e1, e2 in zip(cache[fq1], cache[fq2]):
+                yield (e1.codes, e1.lengths, e1.codes_np, e1.lengths_np,
+                       e2.codes, e2.lengths, e2.codes_np, e2.lengths_np,
+                       e1.n)
+            return
+        width = None
+        for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
+                                           threads=cfg.threads):
+            if width is None:
+                width = max(
+                    64,
+                    -(-max(b1.codes.shape[1], b2.codes.shape[1]) // 64) * 64)
+            out = []
+            for b in (b1, b2):
+                c = _pad_to(b.codes, width)
+                ln = np.minimum(b.lengths, width).astype(np.int32)
+                if b.n < batch_reads:  # pow2 bucket for stable jit shapes
+                    target = max(256, 1 << (b.n - 1).bit_length())
+                    c = np.concatenate(
+                        [c, np.full((target - b.n, width), 4, np.uint8)])
+                    ln = np.concatenate(
+                        [ln, np.zeros(target - b.n, np.int32)])
+                out.extend([c, ln, c, ln])
+            yield (*out, b1.n)
+
+    def enqueue(item):
+        c1d, l1d, c1n, l1n, c2d, l2d, c2n, l2n, n = item
+        pf1 = (align.seed_prefilter_device(c1d, l1d, index)
+               if use_pf else None)
+        pf2 = (align.seed_prefilter_device(c2d, l2d, index)
+               if use_pf else None)
+        return c1n, l1n, c2n, l2n, n, pf1, pf2
+
+    from collections import deque
+
+    ALIGN_LOOKAHEAD = 4
+    q = deque()
+    it = raw_batches()
+    done = False
     row_base = 0
-    for b1, b2 in fastq.paired_batches(fq1, fq2, batch_reads=batch_reads,
-                                       threads=cfg.threads):
-        if width is None:
-            width = max(64, -(-max(b1.codes.shape[1], b2.codes.shape[1]) // 64) * 64)
-        ids = np.arange(b1.start_ordinal, b1.start_ordinal + b1.n)
+    width = None
+    while True:
+        while not done and len(q) < ALIGN_LOOKAHEAD:
+            try:
+                q.append(enqueue(next(it)))
+            except StopIteration:
+                done = True
+        if not q:
+            break
+        c1n, l1n, c2n, l2n, n, pf1, pf2 = q.popleft()
+        width = c1n.shape[1]
+        B = c1n.shape[0]
+        ids = np.arange(row_base, row_base + B, dtype=np.int64)
+        ids[n:] = -1
         batch_t = {}
-        for b, mate, codes_all in (
-            (b1, 0, codes1), (b2, 1, codes2),
+        for mate, cn, ln, pfm, codes_all in (
+            (0, c1n, l1n, pf1, codes1), (1, c2n, l2n, pf2, codes2),
         ):
-            c = _pad_to(b.codes, width)
-            ln = np.minimum(b.lengths, width)
-            if b.n < batch_reads:  # pad to a pow2 bucket for stable jit shapes
-                target = max(256, 1 << (b.n - 1).bit_length())
-                c = np.concatenate(
-                    [c, np.full((target - b.n, width), 4, np.uint8)]
-                )
-                ln = np.concatenate([ln, np.zeros(target - b.n, np.int32)])
-                full_ids = np.concatenate(
-                    [ids, np.full(target - b.n, -1, np.int64)]
-                )
-            else:
-                full_ids = ids
-            t = align.align_batch(subref, index, c, ln, full_ids, mate,
-                                  cfg.align, threads=cfg.threads, mesh=mesh)
-            t = _crop_table(t, b.n)
+            t = align.align_batch(
+                subref, index, cn, ln, ids, mate, cfg.align,
+                threads=cfg.threads, mesh=mesh,
+                pf_mask=np.asarray(pfm) if pfm is not None else None)
+            t = _crop_table(t, n)
             batch_t[mate] = t
             # retain code sequences ONLY for split candidates (contig2 >= 0):
             # accbkp.make_split_reads reads nothing else (keyed by global
@@ -198,7 +250,7 @@ def detect_breakpoint(
             # width * 2 bytes of host RAM (~4 GB at the 13M-pair headline
             # workload) for the entire run
             keep = np.flatnonzero(t.contig2 >= 0)
-            codes_all.append((keep + row_base, c[keep]))
+            codes_all.append((keep + row_base, cn[keep]))
         # drop pairs with NO mapped end before accumulating: rawbkp and
         # accbkp's AlnIndex only ever select rows with a mapped end (the
         # tables must stay positionally paired, so one shared mask), and
@@ -207,10 +259,13 @@ def detect_breakpoint(
         keep_pair = (batch_t[0].contig > 0) | (batch_t[1].contig > 0)
         tables1.append(_take_rows(batch_t[0], keep_pair))
         tables2.append(_take_rows(batch_t[1], keep_pair))
-        row_base += b1.n
-        n_pairs += b1.n
+        row_base += n
+        n_pairs += n
     a1 = align.AlnTable.concat(tables1)
     a2 = align.AlnTable.concat(tables2)
+    if cache is not None:  # free the code cache (HBM + host) before accbkp
+        cache.clear()
+        res.cache = None
     codes1 = CompactRows.concat(codes1, width or 64)
     codes2 = CompactRows.concat(codes2, width or 64)
     mapped = int(((a1.contig > 0) | (a2.contig > 0)).sum())

@@ -568,6 +568,60 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
     )
 
 
+@partial(jax.jit, static_argnames=("k", "mode", "kw", "min_hits"))
+def pair_candidate_count_mask(codes1, len1, codes2, len2, accept, masks,
+                              probe, k: int, mode: str, kw: int,
+                              min_hits: int):
+    """Exact vote prefilter: bool [B] — False iff the pair can NEVER vote.
+
+    A vote requires check_split's gate (cpp:161-202): >= 2 genomes each
+    with >= min_base_num counted bases. Every counted base is a position
+    where >= 1 coder found a peak-map candidate (judge_base's `do`), and
+    each such position credits exactly one genome, so a voting pair needs
+    at least 2*min_base_num candidate positions across both mates. This
+    probe counts candidate positions with ONE membership gather per query
+    (the RankMap's presence bitmap wp[0::2], or the direct map itself) —
+    no pids gather, no greedy — and keeps only pairs reaching that bound.
+    Skipping the rest leaves the vote bit-identical
+    (tests/test_vote.py::test_vote_prefilter_identity).
+
+    mode: "rank" (probe = rank wp int32 [2*W]) or "map" (probe = direct
+    int32 [2^k]). min_hits = 2 * min_base_num (static).
+    """
+    import jax.numpy as jnp
+
+    bit_lut = jnp.asarray([1 << b for b in range(32)], jnp.uint32)
+
+    def count_one(codes, lengths):
+        h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
+        L = codes.shape[-1]
+        if kw and kw < L:
+            h = h[:, :, :kw]
+            v = v[:, :kw]
+            L = kw
+        inwin = (jnp.arange(L, dtype=jnp.int32)[None, :]
+                 <= (lengths[:, None] - k))
+        ok = v[None, :, :] & inwin[None, :, :] & (h != 0)
+        if mode == "rank":
+            wi = (h >> jnp.uint32(5)).astype(jnp.int32)
+            word = probe[2 * wi].astype(jnp.uint32)
+            present = (word & bit_lut[(h & jnp.uint32(31))
+                                      .astype(jnp.int32)]) != 0
+        else:  # "map": candidate iff pid != 0, the lookup itself
+            present = probe[h.astype(jnp.int32)] != 0
+        return jnp.sum(jnp.any(ok & present, axis=0).astype(jnp.int32),
+                       axis=1)
+
+    n = count_one(codes1, len1) + count_one(codes2, len2)
+    return accept & (n >= min_hits)
+
+
+@jax.jit
+def gather_pair_rows(c1, l1, c2, l2, idx):
+    """Device row-gather of a compacted vote sub-batch (both mates)."""
+    return c1[idx], l1[idx], c2[idx], l2[idx]
+
+
 @partial(jax.jit,
          static_argnames=("k", "use_map", "use_rank", "kw"))
 def _vote_candidates(codes, lengths, masks, sorted_hash, sorted_peak,

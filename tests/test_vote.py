@@ -383,3 +383,73 @@ def test_build_hash_peakset_matches_host_build():
         jnp.asarray(np.asarray(pset_dev.rmap.pids)),
         jnp.asarray(pset_host.sorted_hash)))
     np.testing.assert_array_equal(got, pset_host.sorted_peak)
+
+
+def test_vote_prefilter_identity():
+    """pair_candidate_count_mask is exact: pairs it drops can never vote,
+    so voting only the kept (compacted) pairs is bit-identical to voting
+    everything — on both the rank-map and direct-map probe paths."""
+    import jax.numpy as jnp
+
+    gA, gB, masks, pset, k = _mk()
+    rng = np.random.default_rng(7)
+    B, L = 64, 60
+    m1 = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    m2 = rng.integers(0, 4, (B, L)).astype(np.uint8)
+    # a few genuine bridging pairs in the batch
+    for b in (3, 17, 40):
+        m1[b] = np.concatenate([gA[120:150], gB[150:180]])
+        m2[b] = gB[110:170]
+    # and a few single-genome pairs (candidates but no 2-genome vote)
+    for b in (5, 22):
+        m1[b] = gA[110:170]
+        m2[b] = gA[120:180]
+    accept = np.ones(B, bool)
+    accept[17] = False  # down-sampled bridging pair must stay gated
+    lens = np.full(B, L, np.int32)
+    masks_j = jnp.asarray(masks)
+    pc = jnp.asarray(pset.contig.astype(np.int32))
+    min_base = 6
+
+    rmap = pm.build_rankmap_host(pset.sorted_hash, pset.sorted_peak, k)
+    dm = np.zeros(1 << k, np.int32)
+    dm[pset.sorted_hash.astype(np.int64)] = pset.sorted_peak
+
+    for mode in ("rank", "map"):
+        if mode == "rank":
+            kw = dict(rank_wp=jnp.asarray(rmap.wp),
+                      rank_pids=jnp.asarray(rmap.pids), use_rank=True)
+            sh, sp = jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.int32)
+            probe = kw["rank_wp"]
+        else:
+            kw = dict(use_map=True)
+            sh, sp = jnp.asarray(dm), jnp.zeros(1, jnp.int32)
+            probe = sh
+        pf0 = jnp.zeros(pset.n + 1, jnp.int32)
+        full = np.asarray(pm.split_vote_batch(
+            pf0, jnp.asarray(m1), jnp.asarray(lens),
+            jnp.asarray(m2), jnp.asarray(lens), jnp.asarray(accept),
+            masks_j, sh, sp, pc, k=k, min_base_num=min_base, **kw))
+        mask = np.asarray(pm.pair_candidate_count_mask(
+            jnp.asarray(m1), jnp.asarray(lens),
+            jnp.asarray(m2), jnp.asarray(lens), jnp.asarray(accept),
+            masks_j, probe, k=k, mode=mode, kw=0,
+            min_hits=2 * min_base))
+        idx = np.flatnonzero(mask)
+        assert 0 < len(idx) < B           # something kept, something dropped
+        assert not mask[17]               # accept=False is dropped
+        bucket = max(8, 1 << (len(idx) - 1).bit_length())
+        idxp = np.zeros(bucket, np.int32)
+        idxp[: len(idx)] = idx
+        accp = np.zeros(bucket, bool)
+        accp[: len(idx)] = True
+        c1s, l1s, c2s, l2s = pm.gather_pair_rows(
+            jnp.asarray(m1), jnp.asarray(lens),
+            jnp.asarray(m2), jnp.asarray(lens), jnp.asarray(idxp))
+        compact = np.asarray(pm.split_vote_batch(
+            pf0, c1s, l1s, c2s, l2s, jnp.asarray(accp),
+            masks_j, sh, sp, pc, k=k, min_base_num=min_base, **kw))
+        # index 0 is the sentinel slot (absorbs non-voting scatters) and
+        # legitimately differs with batch size; real peaks must match
+        np.testing.assert_array_equal(full[1:], compact[1:])
+        assert full[1] >= 1 and full[2] >= 1  # the bridging pairs voted
