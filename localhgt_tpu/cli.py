@@ -71,7 +71,8 @@ def build_parser() -> argparse.ArgumentParser:
         "stats, microhomology, mechanism, network, classifier).")
     a.add_argument("what", choices=[
         "stats", "microhomology", "mechanism", "network", "classifier",
-        "lodo", "kegg", "timeline", "transfer_gene"])
+        "lodo", "kegg", "timeline", "transfer_gene", "association",
+        "phenotype_table"])
     a.add_argument("-b", help="folder with *.acc.csv files")
     a.add_argument("-r", help="reference FASTA (microhomology/mechanism)")
     a.add_argument("-e", help="event CSV (mechanism)")
@@ -100,6 +101,14 @@ def build_parser() -> argparse.ArgumentParser:
     a.add_argument("--gff",
                    help="gene-annotation GFF for product classification "
                    "(transfer_gene)")
+    a.add_argument("--bin-size", type=int, default=5000,
+                   help="breakpoint bin for association marker tags "
+                   "(associtation_study.py bin_size)")
+    a.add_argument("--cohort", default="all",
+                   help="restrict the association study to one cohort")
+    a.add_argument("--meta-csv",
+                   help="flat cohort-metadata CSV (phenotype_table): "
+                   "columns sample,cohort,disease[,full_disease,run,...]")
     return p
 
 
@@ -179,6 +188,31 @@ def run_analyze(a) -> int:
 
     pheno = records.read_phenotype(a.pheno) if a.pheno else None
     tax = Taxonomy(a.meta)
+
+    if a.what == "association":
+        from localhgt_tpu.analysis import association
+
+        if not (a.b and a.pheno):
+            print("association needs -b <acc.csv folder> and --pheno",
+                  file=sys.stderr)
+            return 2
+        level = a.level if a.level != "all" else "genus"
+        emit(association.association_study(
+            a.b, a.pheno, tax, a.group1, a.group2, level=level,
+            cohort=a.cohort, bin_size=a.bin_size))
+        return 0
+
+    if a.what == "phenotype_table":
+        from localhgt_tpu.analysis import association
+
+        if not (a.meta_csv and a.f):
+            print("phenotype_table needs --meta-csv and -f <output CSV>",
+                  file=sys.stderr)
+            return 2
+        t = association.PhenotypeTable.from_metadata_csv(a.meta_csv)
+        n = t.write_csv(a.f)
+        print(f"{n} phenotype rows -> {a.f}")
+        return 0
 
     if a.what == "kegg":
         from localhgt_tpu.analysis import cohort

@@ -472,3 +472,108 @@ def test_merge_intervals_and_lengths():
     assert tg.merge_intervals([(5, 9), (1, 3), (2, 4)]) == [(1, 4), (5, 9)]
     st = tg.gene_length_stats(_mk_events())
     assert st["n"] == 3 and st["median"] == 4000.0
+
+
+# ---------- association (associtation_study.py + extract_phenotype.py) ----------
+
+class _Bkp:
+    def __init__(self, c1, p1, c2, p2):
+        self.from_ref, self.from_bkp = c1, p1
+        self.to_ref, self.to_bkp = c2, p2
+
+
+class _S:
+    def __init__(self, sid, bkps):
+        self.sample_id, self.bkps = sid, bkps
+
+
+def test_select_samples_filters():
+    from localhgt_tpu.analysis import association
+
+    samples = [_S(f"s{i}", []) for i in range(6)]
+    pheno = {
+        "s0": ("c1", "CRC", "CRC"),
+        "s1": ("c1", "control", "healthy"),
+        "s2": ("c1", "control", "adenoma"),        # control but not healthy
+        "s3": ("c1", "CRC", "CRC;T2D"),            # multi-disease
+        "s4": ("c2", "", ""),                      # empty disease
+        "s5": ("c2", "CRC", "CRC"),
+    }
+    sel = association.select_samples(samples, pheno, "CRC", "control")
+    assert sel == {"s0": 0, "s1": 1, "s5": 0}
+    sel_c1 = association.select_samples(samples, pheno, "CRC", "control",
+                                        cohort="c1")
+    assert sel_c1 == {"s0": 0, "s1": 1}
+
+
+def test_fisher_markers_detects_enriched_tag():
+    from localhgt_tpu.analysis import association
+
+    rng = np.random.default_rng(5)
+    tax = Taxonomy()
+    samples, pheno = [], {}
+    for i in range(40):
+        grp = "CRC" if i < 20 else "control"
+        bkps = []
+        # the enriched junction: 18/20 CRC carriers vs 1/20 controls
+        if (grp == "CRC" and i < 18) or (grp == "control" and i == 25):
+            bkps.append(_Bkp("gA_1", 1000, "gB_1", 2000))
+        # noise junctions spread thin across both groups
+        bkps.append(_Bkp(f"gN{rng.integers(0, 30)}_1", 500, "gZ_1", 900))
+        sid = f"s{i}"
+        samples.append(_S(sid, bkps))
+        pheno[sid] = ("c", grp, "healthy" if grp == "control" else grp)
+    sel = association.select_samples(samples, pheno, "CRC", "control")
+    pair_counts, bk_counts, n = association.extract_tag_counts(
+        samples, sel, tax, "genome")
+    assert n == [20, 20]
+    assert pair_counts["gA&gB"] == [18, 1]
+    rows = association.fisher_markers(pair_counts, n, "CRC", "control")
+    assert rows[0]["tag"] == "gA&gB" and rows[0]["significant"]
+    assert rows[0]["oddsratio"] > 1 and rows[0]["CRC"] == 0.9
+    # breakpoint-bin markers find the enriched endpoints too
+    brows = association.fisher_markers(bk_counts, n, "CRC", "control")
+    sig = {r["tag"] for r in brows if r["significant"]}
+    assert "gA_1&0" in sig and "gB_1&0" in sig
+    # a non-differential tag must not be significant
+    assert all(not r["significant"] for r in rows if r["tag"] != "gA&gB")
+
+
+def test_association_study_end_to_end(toy_cohort, tmp_path):
+    from localhgt_tpu.analysis import association
+
+    _, sdir, _ = toy_cohort
+    pheno_csv = tmp_path / "pheno.csv"
+    with open(pheno_csv, "w") as f:
+        f.write("sample,cohort,disease,full\n")
+        f.write("s1,c1,CRC,CRC\ns2,c1,CRC,CRC\n")
+        f.write("s3,c1,control,healthy\ns4,c1,control,healthy\n")
+    out = association.association_study(
+        sdir, str(pheno_csv), Taxonomy(), "CRC", "control", level="genome")
+    assert out["n_samples"] == {"CRC": 2, "control": 2}
+    assert out["n_pair_tags"] == 1        # every sample shares gA&gB
+    assert out["top_pairs"][0]["tag"] == "gA&gB"
+    # identical presence in both groups: no significant marker
+    assert out["diff_pairs"] == []
+
+
+def test_phenotype_table_roundtrip(tmp_path):
+    from localhgt_tpu.analysis import association
+
+    meta = tmp_path / "meta.csv"
+    with open(meta, "w") as f:
+        f.write("sample,cohort,disease,full_disease,run,age,gender,bmi\n")
+        f.write("p1,co1,CRC,CRC,SRR001,61,male,24.2\n")
+        f.write("p2,co1,control,healthy,SRR002,55,female,22.9\n")
+        f.write("p3,co2,T2D,T2D,NA,48,nan,31.0\n")
+    t = association.PhenotypeTable.from_metadata_csv(meta)
+    out = tmp_path / "pheno.csv"
+    assert t.write_csv(str(out)) == 3
+    ph = records.read_phenotype(str(out))
+    # runs inherit the sample's phenotype; unmapped samples keep their name
+    assert ph["SRR001"] == ("co1", "CRC", "CRC")
+    assert ph["SRR002"] == ("co1", "control", "healthy")
+    assert ph["p3"] == ("co2", "T2D", "T2D")
+    assert t.by_sample["p1"]["gender"] == 0
+    assert t.by_sample["p2"]["gender"] == 1
+    assert t.by_sample["p3"]["gender"] == 2
