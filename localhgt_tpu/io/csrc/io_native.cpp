@@ -38,7 +38,11 @@ static void init_codes() {
 
 struct FastqReader {
   FILE* f;
-  std::vector<char> carry;
+  std::vector<char> carry;      // unparsed tail bytes (legacy name)
+  std::vector<int64_t> nl;      // newline offsets into `carry`, ascending
+  int64_t scan_pos;             // bytes of `carry` already newline-scanned
+  int64_t rec_cursor;           // records of `nl` already emitted
+  bool at_eof;
   int64_t ordinal;
 };
 
@@ -48,6 +52,9 @@ void* lht_fastq_open(const char* path) {
   if (!f) return nullptr;
   auto* r = new FastqReader();
   r->f = f;
+  r->scan_pos = 0;
+  r->rec_cursor = 0;
+  r->at_eof = false;
   r->ordinal = 0;
   return r;
 }
@@ -71,43 +78,58 @@ int64_t lht_fastq_next_block(void* h, uint8_t* codes, int32_t* lengths,
   if (!r) return -1;
   *start_ordinal = r->ordinal;
 
-  // read chunk + carry
-  std::vector<char> buf;
-  buf.swap(r->carry);
-  size_t have = buf.size();
-  buf.resize(have + chunk_bytes);
-  size_t got = fread(buf.data() + have, 1, chunk_bytes, r->f);
-  buf.resize(have + got);
-  if (buf.empty()) return 0;
-
-  // find newline offsets (single pass)
-  std::vector<int64_t> nl;
-  nl.reserve(buf.size() / 64);
-  for (size_t i = 0; i < buf.size(); i++)
-    if (buf[i] == '\n') nl.push_back((int64_t)i);
-  int64_t nrec = (int64_t)nl.size() / 4;
-  bool at_eof = (got == 0);
-  if (nrec == 0) {
-    if (at_eof) return 0;     // trailing garbage / partial record: drop
-    r->carry = std::move(buf);
-    return lht_fastq_next_block(h, codes, lengths, max_reads, width,
-                                chunk_bytes, start_ordinal, n_threads);
+  // Top up until max_reads unparsed records (4 newlines each) are
+  // buffered. Each stream byte is fread ONCE, memchr-scanned ONCE and
+  // parsed in place; the earlier stateless carry design re-copied and
+  // re-scanned ~2.7x of the stream (64 MB chunk vs ~24 MB consumed per
+  // call) and used a per-byte newline loop — together the big-fixture
+  // count stage was host-IO-bound at ~43 MB/s.
+  while (!r->at_eof &&
+         ((int64_t)r->nl.size() / 4 - r->rec_cursor) < max_reads) {
+    int64_t drop = r->rec_cursor * 4;
+    if (drop > 0) {  // compact the consumed prefix before growing
+      int64_t base = r->nl[drop - 1] + 1;
+      r->carry.erase(r->carry.begin(), r->carry.begin() + base);
+      r->nl.erase(r->nl.begin(), r->nl.begin() + drop);
+      for (auto& v : r->nl) v -= base;
+      r->scan_pos -= base;
+      r->rec_cursor = 0;
+    }
+    size_t have = r->carry.size();
+    r->carry.resize(have + chunk_bytes);
+    size_t got = fread(r->carry.data() + have, 1, chunk_bytes, r->f);
+    r->carry.resize(have + got);
+    if (got == 0) r->at_eof = true;
+    const char* base_p = r->carry.data();
+    const char* p = base_p + r->scan_pos;
+    const char* end = base_p + r->carry.size();
+    while (p < end) {  // SIMD newline scan of the NEW bytes only
+      const char* q = (const char*)memchr(p, '\n', (size_t)(end - p));
+      if (!q) break;
+      r->nl.push_back(q - base_p);
+      p = q + 1;
+    }
+    r->scan_pos = (int64_t)r->carry.size();
   }
-  if (nrec > max_reads) nrec = max_reads;
-  int64_t consumed = nl[nrec * 4 - 1] + 1;
-  if (consumed < (int64_t)buf.size())
-    r->carry.assign(buf.begin() + consumed, buf.end());
 
-  // parse sequence lines (line 4i+1) into codes
+  int64_t avail = (int64_t)r->nl.size() / 4 - r->rec_cursor;
+  int64_t nrec = avail < max_reads ? avail : max_reads;
+  if (nrec <= 0) return 0;  // EOF (any partial trailing record dropped)
+
+  // parse sequence lines (line 4i+1) into codes; buffer always starts at
+  // a record boundary (compaction drops whole records only)
+  const int64_t* nl = r->nl.data() + r->rec_cursor * 4;
+  const char* bufp = r->carry.data();
   auto work = [&](int64_t lo, int64_t hi) {
     for (int64_t i = lo; i < hi; i++) {
       int64_t s = nl[i * 4] + 1;  // sequence line follows the header line
       int64_t e = nl[i * 4 + 1];
       int64_t len = e - s;
       if (len > width) len = width;
+      if (len < 0) len = 0;
       lengths[i] = (int32_t)len;
       uint8_t* row = codes + i * width;
-      const char* p = buf.data() + s;
+      const char* p = bufp + s;
       int64_t j = 0;
       for (; j < len; j++) row[j] = CODE[(uint8_t)p[j]];
       for (; j < width; j++) row[j] = 4;
@@ -127,6 +149,7 @@ int64_t lht_fastq_next_block(void* h, uint8_t* codes, int32_t* lengths,
     }
     for (auto& t : ts) t.join();
   }
+  r->rec_cursor += nrec;
   r->ordinal += nrec;
   return nrec;
 }

@@ -396,13 +396,19 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
     peak_filter = jnp.zeros(pset.n + 1, jnp.int32)
     use_map = pset.direct_map is not None
     rank_wp = rank_pids = None
-    use_rank = False
+    cuckoo_t1 = cuckoo_t2 = None
+    use_rank = use_cuckoo = False
     sh = jnp.zeros(0, jnp.uint32)
     sp = jnp.zeros(0, jnp.int32)
     if use_map:
         sh = pset.direct_map
+    elif pset.cmap is not None:
+        # k > 30 default: tagged cuckoo map, 2 one-dim gathers/query
+        cuckoo_t1 = jnp.asarray(pset.cmap.t1)
+        cuckoo_t2 = jnp.asarray(pset.cmap.t2)
+        use_cuckoo = True
     elif pset.rmap is not None:
-        # k > 30 default: rank-select map, 3 one-dimensional gathers/query
+        # k > 30 fallback: rank-select map, 3 one-dim gathers/query
         rank_wp = jnp.asarray(pset.rmap.wp)
         rank_pids = jnp.asarray(pset.rmap.pids)
         use_rank = True
@@ -445,9 +451,14 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
             masks_j, sh, sp, pc,
             k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
             rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
+            cuckoo_t1=cuckoo_t1, cuckoo_t2=cuckoo_t2, use_cuckoo=use_cuckoo,
+            cuckoo_bits=(pset.cmap.bits if use_cuckoo else 28),
             kw=_kw(np.shape(c1)[1], lmax),
         )
 
+    # No cheap one-gather probe exists for the cuckoo map (both tables
+    # must be consulted for exactness), so the adaptive prefilter only
+    # runs on the direct/rank paths.
     prefilter = ((use_map or use_rank)
                  and os.environ.get("LHT_VOTE_PREFILTER", "1") != "0")
     if not prefilter:
@@ -467,7 +478,15 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
         m = peaks_mod.pair_candidate_count_mask(
             c1j, l1j, c2j, l2j, accj, masks_j, probe,
             k=k, mode=mode, kw=kwv, min_hits=min_hits)
-        return c1j, l1j, c2j, l2j, kwv, m
+        return c1j, l1j, c2j, l2j, accj, kwv, m
+
+    def vote_dev(c1j, l1j, c2j, l2j, accj, kwv, pf):
+        return peaks_mod.split_vote_batch(
+            pf, c1j, l1j, c2j, l2j, accj, masks_j, sh, sp, pc,
+            k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
+            rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
+            kw=kwv,
+        )
 
     from collections import deque
 
@@ -475,6 +494,7 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
     it = batches()
     done = False
     n_in = n_kept = 0
+    n_batches = 0
     while True:
         while not done and len(pending) < VOTE_LOOKAHEAD:
             try:
@@ -483,30 +503,54 @@ def vote_peaks(pset, fq1, fq2, masks, cfg: Config, ratio,
                 done = True
         if not pending:
             break
-        c1j, l1j, c2j, l2j, kwv, m = pending.popleft()
+        c1j, l1j, c2j, l2j, accj, kwv, m = pending.popleft()
         mask = np.asarray(m)
         idx = np.flatnonzero(mask)
         n_in += int(mask.shape[0])
         n_kept += len(idx)
-        for lo in range(0, len(idx), VOTE_BUCKET):
-            chunk = idx[lo : lo + VOTE_BUCKET]
-            bucket = max(512, 1 << (len(chunk) - 1).bit_length())
-            idxp = np.zeros(bucket, np.int32)
-            idxp[: len(chunk)] = chunk
-            accp = np.zeros(bucket, bool)
-            accp[: len(chunk)] = True
-            c1s, l1s, c2s, l2s = peaks_mod.gather_pair_rows(
-                c1j, l1j, c2j, l2j, jnp.asarray(idxp))
-            peak_filter = peaks_mod.split_vote_batch(
-                peak_filter, c1s, l1s, c2s, l2s, jnp.asarray(accp),
-                masks_j, sh, sp, pc,
-                k=k, min_base_num=cfg.scan.min_base_num, use_map=use_map,
-                rank_wp=rank_wp, rank_pids=rank_pids, use_rank=use_rank,
-                kw=kwv,
-            )
+        n_batches += 1
+        if len(idx) > mask.shape[0] // 2:
+            # dense batch: compaction would dispatch ~B/VOTE_BUCKET greedy
+            # kernels for no savings — vote the whole batch in one step
+            peak_filter = vote_dev(c1j, l1j, c2j, l2j, accj, kwv,
+                                   peak_filter)
+        else:
+            for lo in range(0, len(idx), VOTE_BUCKET):
+                chunk = idx[lo : lo + VOTE_BUCKET]
+                bucket = max(512, 1 << (len(chunk) - 1).bit_length())
+                idxp = np.zeros(bucket, np.int32)
+                idxp[: len(chunk)] = chunk
+                accp = np.zeros(bucket, bool)
+                accp[: len(chunk)] = True
+                c1s, l1s, c2s, l2s = peaks_mod.gather_pair_rows(
+                    c1j, l1j, c2j, l2j, jnp.asarray(idxp))
+                peak_filter = vote_dev(c1s, l1s, c2s, l2s,
+                                       jnp.asarray(accp), kwv, peak_filter)
+        # adaptive off-switch: at production peak-map density most pairs
+        # have >= min_hits candidate positions (the big fixture measured
+        # 98% kept), so the probe itself is pure overhead — stop paying
+        # for it once the observed keep-rate says so. Exactness is
+        # unaffected either way (the probe only ever skips pairs that
+        # cannot vote).
+        if prefilter and n_batches >= 4 and n_kept > n_in * 3 // 4:
+            log.info("vote prefilter: keep-rate %.0f%% after %d batches — "
+                     "switching to full-batch votes",
+                     100.0 * n_kept / max(n_in, 1), n_batches)
+            for item in pending:  # already-probed lookahead entries
+                peak_filter = vote_dev(*item[:6], peak_filter)
+            pending.clear()
+            while True:
+                try:
+                    c1, l1, c2, l2, acc, lmax = next(it)
+                except StopIteration:
+                    break
+                peak_filter = vote_full(c1, l1, c2, l2, acc, lmax,
+                                        peak_filter)
+                n_in += int(np.shape(c1)[0])
+            break
     metrics.add("vote_prefilter_in", n_in)
     metrics.add("vote_prefilter_kept", n_kept)
-    log.info("vote prefilter: %d/%d pairs voted", n_kept, n_in)
+    log.info("vote prefilter: %d/%d pairs probed-in", n_kept, n_in)
     return np.asarray(peak_filter)
 
 
@@ -544,12 +588,17 @@ def extract(fq1: str, fq2: str, contigs: fasta.Contigs, cfg: Config) -> ExtractR
                 per_contig, contigs, tables, masks, cfg.kmer.k
             )
         else:
-            # k > 30: member hashing + count filtering + the rank-map build
-            # all device-resident (streaming scatter passes — no device-wide
-            # sorts, no multi-GB temporaries; peak HBM alongside the 3 x 2 GB
-            # packed tables stays well under the 16 GB chip)
+            # k > 30: member hashing + count filtering + the map build all
+            # device-resident. The box lets the build free the 3 x 2 GB
+            # count tables the moment the filtered pair stream is
+            # collected, making room for the cuckoo placement rounds.
+            tables_box = [tables]
+            del tables
             pset = peaks_mod.build_hash_peakset(
-                per_contig, contigs, tables, masks, cfg.kmer.k)
+                per_contig, contigs, None, masks, cfg.kmer.k,
+                tables_box=tables_box)
+            tables = None
+            del tables_box
     # the vote never touches the count tables — drop any remaining HBM
     del tables
     log.info("peakset built in %.1fs", _time.time() - t)

@@ -56,10 +56,48 @@ class PeakSet:
     sorted_peak: np.ndarray  # int32 [K] peak id per hash
     direct_map: object = None  # device int32 [2^k] hash -> peak id, or None
     rmap: "RankMap | None" = None  # k > 30: succinct hash -> peak id map
+    cmap: "CuckooMap | None" = None  # k > 30 fast path (2 gathers/query)
 
     @property
     def n(self) -> int:
         return len(self.contig) - 1
+
+
+@dataclass
+class CuckooMap:
+    """Two-table tagged cuckoo hash -> peak-id map: the k > 30 vote-lookup
+    fast path (2 independent HBM gathers per query vs the RankMap's 3 —
+    measured ~360 ms per 25M-element gather on this chip regardless of
+    operand size, so the lookup is gather-count-bound).
+
+    Slot schemes (S = 2^bits slots per table, production bits = 28):
+      T1[h & (S-1)]        stores tag = h >> bits  (colliders share the
+                           low bits, so the top 32-bits bits identify the
+                           key EXACTLY);
+      T2[(h*MIX) >> bits]  on the bijectively mixed key (h * CUCKOO_MIX
+                           mod 2^32 — canonical-min hashes skew low, see
+                           cuckoo_lookup); tag = mixed low (32-bits) bits,
+                           so (slot, tag) reconstructs the key exactly
+                           via the inverse multiplier.
+    A slot packs (tag << bits) | pid with pid in [1, 2^bits); empty = 0
+    (pid 0 never exists, and a stored value is >= 1). Tag equality
+    implies FULL key equality — zero false positives, so lookups are
+    exact.
+
+    The key is reconstructible from (table, slot, tag), which lets the
+    device-side build detect displaced occupants without any host state
+    (build_cuckoo_device). Placement needs load < 0.5 of total slots; at
+    ~163M stored k-mers (the 100 Mbp big fixture) load is 0.30. Larger
+    key sets (or pids >= 2^bits) fall back to the RankMap."""
+
+    t1: object  # uint32 [2^bits] (device)
+    t2: object  # uint32 [2^bits]
+    k: int = 0   # hash width (T1 needs bits < k; T2 uses the mixed key)
+    bits: int = 28
+
+
+CUCKOO_BITS = 28                   # slots per table
+CUCKOO_MAX_KEYS = 240_000_000      # ~0.45 load; beyond -> RankMap fallback
 
 
 @dataclass
@@ -315,6 +353,224 @@ def _scatter_pids(pids_arr, wp, keys, vals):
     return pids_arr.at[idx].max(jnp.where(live, vals, 0), mode="drop")
 
 
+CUCKOO_MIX = 2654435761          # odd => bijective mod 2^32 (T2)
+CUCKOO_MIX_INV = pow(CUCKOO_MIX, -1, 1 << 32)
+CUCKOO_MIX1 = 2246822519         # independent odd multiplier (T1)
+CUCKOO_MIX1_INV = pow(CUCKOO_MIX1, -1, 1 << 32)
+
+
+def cuckoo_lookup(t1, t2, h, bits: int = CUCKOO_BITS):
+    """Device lookup: pid per uint32 hash (0 where absent). Two independent
+    1-D gathers; see CuckooMap for the exactness argument. Traceable
+    (`bits` must be trace-static).
+
+    T2 buckets on the BIJECTIVELY MIXED key (h * CUCKOO_MIX mod 2^32):
+    canonical hashes are min(fwd, revcomp) and therefore skew LOW, which
+    overloads the low T2 slots if bucketing on raw top bits (observed:
+    real-data placement livelocked while uniform synthetic keys
+    converged). The odd-multiplier mix is invertible, so (slot, tag)
+    still reconstructs the key exactly."""
+    import jax.numpy as jnp
+
+    M = jnp.uint32((1 << bits) - 1)
+    TAGM = jnp.uint32((1 << (32 - bits)) - 1)
+    hm1 = h * jnp.uint32(CUCKOO_MIX1)
+    hm2 = h * jnp.uint32(CUCKOO_MIX)
+    v1 = t1[(hm1 & M).astype(jnp.int32)]
+    v2 = t2[(hm2 >> jnp.uint32(32 - bits)).astype(jnp.int32)]
+    hit1 = (v1 != 0) & ((v1 >> jnp.uint32(bits)) == (hm1 >> jnp.uint32(bits)))
+    hit2 = (v2 != 0) & ((v2 >> jnp.uint32(bits)) == (hm2 & TAGM))
+    # MAX over both tables: duplicate-key copies may settle in both (see
+    # _cuckoo_round's domination rules); the max is the reference's
+    # last-writer/max-pid resolution (see RankMap)
+    pid = jnp.maximum(jnp.where(hit1, v1 & M, 0),
+                      jnp.where(hit2, v2 & M, 0))
+    return jax.lax.bitcast_convert_type(pid, jnp.int32)
+
+
+@partial(jax.jit, donate_argnums=(0,),
+         static_argnames=("use_t1", "bits", "evict"))
+def _cuckoo_round(table, keys, pids, salt, use_t1: bool,
+                  bits: int = CUCKOO_BITS, evict: bool = True):
+    """One placement round: scatter-SET (key, pid) packs into one table
+    (arbitrary winner per contested slot — true cuckoo eviction: ANY
+    occupant can be knocked out, which a scatter-max cannot do), read
+    back, and classify every pool entry.
+
+    Duplicate keys (same key, different pids — common in the member
+    stream) resolve by DOMINATION instead of a pre-pass dedupe: a copy
+    finding its own key in the slot with pid >= its own is dominated and
+    leaves the pool; a displaced same-key occupant with pid <= the
+    winner's is likewise discarded rather than re-pooled. Copies may
+    settle in both tables; cuckoo_lookup takes the MAX over both, which
+    is exactly the reference's last-writer/max-pid resolution (RankMap).
+
+    Returns (table, status int8 [N], disp_keys uint32 [N], disp_pids
+    int32 [N]): status 0 = placed or dominated (leaves the pool), 1 =
+    loser (retries the other table); `disp_*` are occupants knocked out
+    of overwritten slots (SENTINEL key where none), reconstructed
+    entirely from the old packed value — possible because (table, slot,
+    tag) determines the key (see CuckooMap)."""
+    import jax.numpy as jnp
+
+    SEN = jnp.uint32(0xFFFFFFFF)
+    present = keys != SEN
+    # damped attempts (salt != 0): only a pseudorandom half of the pool
+    # inserts this round. Batch-parallel cuckoo displacement livelocks
+    # without this — displaced cohorts re-displace each other in lockstep
+    # (observed as a stable ~134k-entry oscillation on the big fixture);
+    # the asymmetric half breaks the cycles. salt == 0 attempts all.
+    att = (((keys * (salt | jnp.uint32(1))) >> jnp.uint32(20))
+           & jnp.uint32(1)) == (salt & jnp.uint32(1))
+    att = att | (salt == 0)
+    live = present & att
+    defer = present & ~att
+    if use_t1:
+        # T1 on mixed-key LOW bits: raw low bits of adjacent-position
+        # k-mer hashes are shift-related (the coder hash is a sliding
+        # window), so consecutive peak members saturate local slot
+        # clusters; mixing restores the uniformity cuckoo needs
+        km = keys * jnp.uint32(CUCKOO_MIX1)
+        slot = (km & jnp.uint32((1 << bits) - 1)).astype(jnp.int32)
+        tag = km >> jnp.uint32(bits)
+    else:
+        # T2 on the mixed key's TOP bits (see cuckoo_lookup: the
+        # canonical-min skew overloads raw top bits)
+        km = keys * jnp.uint32(CUCKOO_MIX)
+        slot = (km >> jnp.uint32(32 - bits)).astype(jnp.int32)
+        tag = km & jnp.uint32((1 << (32 - bits)) - 1)
+    PIDM = jnp.uint32((1 << bits) - 1)
+    mypid = jax.lax.bitcast_convert_type(pids, jnp.uint32)
+    pack = (tag << jnp.uint32(bits)) | mypid
+    idx = jnp.where(live, slot, jnp.int32(table.shape[0]))
+    old = table[jnp.where(live, slot, 0)]
+    if evict:
+        # true cuckoo eviction: ANY occupant can be knocked out
+        table = table.at[idx].set(jnp.where(live, pack, 0), mode="drop")
+    else:
+        # mass-placement rounds: scatter-MAX kills same-key duplicate
+        # populations in ONE round (every smaller-pid copy sees a >=-pid
+        # winner and is dominated below; a .set round only halves them,
+        # which serialized heavy genomic repeats for dozens of rounds)
+        table = table.at[idx].max(jnp.where(live, pack, 0), mode="drop")
+    new = table[jnp.where(live, slot, 0)]
+    placed = live & (new == pack)
+    same_key_new = (new >> jnp.uint32(bits)) == tag
+    # dominated: my own key holds the slot with pid >= mine — this copy
+    # is redundant (max resolution) and leaves the pool
+    dominated = live & ~placed & same_key_new & ((new & PIDM) >= mypid)
+    keep = (live & ~placed & ~dominated) | defer  # stays in the pool
+    status = keep.astype(jnp.int8)
+    # displaced occupant: existed, lost the slot, and is NOT a dominated
+    # duplicate of the winner (same key with pid <= the winner's). Only
+    # the slot's winner reports it, so an occupant re-enters exactly once.
+    same_key_old = (old >> jnp.uint32(bits)) == tag
+    disp = placed & (old != 0) & (old != pack) \
+        & ~(same_key_old & ((old & PIDM) <= mypid))
+    if use_t1:
+        km_old = ((old >> jnp.uint32(bits)) << jnp.uint32(bits)) \
+            | jax.lax.bitcast_convert_type(slot, jnp.uint32)
+        okey = km_old * jnp.uint32(CUCKOO_MIX1_INV)  # un-mix
+    else:
+        km_old = (jax.lax.bitcast_convert_type(slot, jnp.uint32)
+                  << jnp.uint32(32 - bits)) | (old >> jnp.uint32(bits))
+        okey = km_old * jnp.uint32(CUCKOO_MIX_INV)  # un-mix
+    disp_keys = jnp.where(disp, okey, SEN)
+    disp_pids = jax.lax.bitcast_convert_type(
+        jnp.where(disp, old & PIDM, 0), jnp.int32)
+    # scalar counts only — the pool compaction happens on device
+    # (_compact_pool_dev), so no O(N) mask ever crosses to the host
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    n_disp = jnp.sum(disp.astype(jnp.int32))
+    return table, status, disp_keys, disp_pids, n_keep, n_disp
+
+
+@jax.jit
+def _dedupe_pool(keys, pids):
+    """Sort + run-max dedupe of a (small) pool: duplicate keys collapse to
+    their MAX pid. Heavy genomic repeats put thousands of same-key copies
+    in the stream; copies starved out of both slots during the max phase
+    otherwise circulate through the eviction rounds forever."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    ks, ps = lax.sort((keys, pids), dimension=0, num_keys=2)
+    SEN = jnp.uint32(0xFFFFFFFF)
+    is_last = jnp.concatenate([ks[:-1] != ks[1:], jnp.ones(1, bool)])
+    live = is_last & (ks != SEN)
+    return jnp.where(live, ks, SEN), jnp.where(live, ps, 0)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_pool_dev(keys, pids, status, disp_keys, disp_pids, cap: int):
+    """Device compaction of the next round's pool (kept entries +
+    displaced occupants) into a `cap`-row bucket, SENTINEL-padded. Only
+    the pool COUNTS cross to the host; the index build runs on device."""
+    import jax.numpy as jnp
+
+    SEN = jnp.uint32(0xFFFFFFFF)
+    N = keys.shape[0]
+    allk = jnp.concatenate(
+        [jnp.where(status == 1, keys, SEN), disp_keys,
+         jnp.full(1, SEN, jnp.uint32)])
+    allp = jnp.concatenate(
+        [jnp.where(status == 1, pids, 0), disp_pids,
+         jnp.zeros(1, jnp.int32)])
+    idx = jnp.nonzero(allk != SEN, size=cap, fill_value=2 * N)[0]
+    return allk[idx], allp[idx]  # fill rows hit the appended SENTINEL
+
+
+def build_cuckoo_device(keys, pids, k: int, max_rounds: int = 48,
+                        bits: int = CUCKOO_BITS):
+    if bits >= 32:
+        return None  # no tag bits left: no valid split
+    """Place a (key uint32, pid int32) multiset into a CuckooMap ON
+    DEVICE. SENTINEL (0xFFFFFFFF) key rows are dropped; duplicate keys
+    resolve to the MAX pid (scatter-MAX placement — see _cuckoo_round), so
+    callers feed the raw member pair stream with no dedupe pass. Returns
+    None if placement does not converge (load too high; callers fall back
+    to the RankMap).
+
+    Iterative 2-choice insertion as data-parallel rounds: alternate
+    tables; scatter the whole unplaced pool into one table, detect
+    winners by readback, reconstruct displaced occupants from their
+    packed values, carry losers + displaced forward. The pool shrinks
+    geometrically at production load (~0.3), so total work is ~2x the
+    first round's."""
+    import jax.numpy as jnp
+
+    import logging as _logging
+
+    log = _logging.getLogger("localhgt_tpu.extract")
+    keys = jnp.asarray(keys)
+    pids = jnp.asarray(pids)
+    t1 = jnp.zeros(1 << bits, jnp.uint32)
+    t2 = jnp.zeros(1 << bits, jnp.uint32)
+    MAX_PHASE = 6   # scatter-max rounds: mass placement + instant dedupe
+    DAMP_START = 12  # then half-attempt damping breaks parallel livelock
+    for r in range(max_rounds):
+        use_t1 = (r % 2 == 0)
+        salt = jnp.uint32(0 if r < DAMP_START
+                          else (2654435761 * (r + 1)) & 0xFFFFFFFF)
+        evict = r >= MAX_PHASE
+        if use_t1:
+            t1, status, dk, dp, n_keep, n_disp = _cuckoo_round(
+                t1, keys, pids, salt, use_t1=True, bits=bits, evict=evict)
+        else:
+            t2, status, dk, dp, n_keep, n_disp = _cuckoo_round(
+                t2, keys, pids, salt, use_t1=False, bits=bits, evict=evict)
+        n_next = int(n_keep) + int(n_disp)  # two scalar D2H per round
+        log.debug("cuckoo round %d: pool %d -> kept %d + displaced %d",
+                  r, int(keys.shape[0]), int(n_keep), int(n_disp))
+        if n_next == 0:
+            return CuckooMap(t1=t1, t2=t2, k=k, bits=bits)
+        cap = max(1024, 1 << (n_next - 1).bit_length())
+        keys, pids = _compact_pool_dev(keys, pids, status, dk, dp, cap=cap)
+        if cap <= (1 << 22):
+            keys, pids = _dedupe_pool(keys, pids)
+    return None
+
+
 PAIR_CACHE_LIMIT = 2 << 30  # keep the (hash, pid) stream on device below 2 GB
 
 
@@ -548,19 +804,81 @@ def _member_pair_batches(gpos, pids, contigs, tables, masks_j, k: int):
                                 jnp.asarray(pd_p))
 
 
-def build_hash_peakset(per_contig, contigs, tables, masks, k: int):
+def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
+                       tables_box: list | None = None):
     """Device-first peakset build for k > 30 (where the 2^k direct map does
-    not fit HBM): member hashing, count filtering AND the rank-map build all
+    not fit HBM): member hashing, count filtering AND the map build all
     run on device — the member stream (GBs at reference scale) never
     crosses the tunnel, and the finished map is already HBM-resident for
-    the vote."""
+    the vote.
+
+    Default map: the 2-gather CuckooMap (collect the filtered pair stream
+    device-side, free the count tables via `tables_box` — [tables] whose
+    slot the caller cleared — then place). Falls back to the streaming
+    RankMap build when the key set is too large for cuckoo load or
+    placement fails."""
     import jax.numpy as jnp
 
     pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
     masks_j = jnp.asarray(masks)
+    n_peaks = len(pcontig) - 1
+
+    def stream():
+        t = tables_box[0] if tables_box is not None else tables
+        return _member_pair_batches(gpos, pids, contigs, t, masks_j, k)
+
+    import os as _os
+
+    cmap = None
+    cbits = min(CUCKOO_BITS, k - 4)  # >= 4 tag bits per table
+    # EXPERIMENTAL, default OFF: the 2-gather lookup works (equivalence
+    # tests pass) but the batch-parallel placement stalls on real key
+    # sets — displaced keys retry their single fixed alternate slot, so
+    # eviction chains collide and ~40k keys circulate indefinitely
+    # (uniform slot histograms rule out key clustering; the fix is a
+    # BFS-matching build, not more damping). With the build fallback the
+    # net cost exceeds the vote savings, so RankMap stays the default.
+    use_cuckoo = (_os.environ.get("LHT_VOTE_CUCKOO", "0") == "1"
+                  and cbits >= 8
+                  and n_peaks + 1 < (1 << cbits)
+                  and len(gpos) * 3 < min(CUCKOO_MAX_KEYS,
+                                          int(0.45 * (2 << cbits))))
+    pair_replay = None  # device-resident pair stream once collected
+    if use_cuckoo:
+        kbatches, vbatches = [], []
+        for kk, vv in stream():
+            kbatches.append(kk)
+            vbatches.append(vv)
+        if tables_box is not None:
+            tables_box[0] = None  # free the 3 x 2 GB count tables now
+        if kbatches:
+            total = sum(int(b.shape[0]) for b in kbatches)
+            cap = 1 << max(total - 1, 1).bit_length()  # stable round shapes
+            pad = cap - total
+            if pad:
+                kbatches.append(jnp.full(pad, 0xFFFFFFFF, jnp.uint32))
+                vbatches.append(jnp.zeros(pad, jnp.int32))
+            keys_all = jnp.concatenate(kbatches)
+            pids_all = jnp.concatenate(vbatches)
+            del kbatches, vbatches
+            cmap = build_cuckoo_device(keys_all, pids_all, k, bits=cbits)
+            if cmap is None:
+                # fallback must NOT re-stream (the count tables are gone):
+                # replay the collected device-resident pairs instead
+                def pair_replay(keys_all=keys_all, pids_all=pids_all):
+                    CH = 1 << 22
+                    for lo in range(0, int(keys_all.shape[0]), CH):
+                        yield keys_all[lo : lo + CH], pids_all[lo : lo + CH]
+            del keys_all, pids_all
+    if cmap is not None:
+        return PeakSet(
+            contig=pcontig, pos=ppos,
+            sorted_hash=np.zeros(0, np.uint32),
+            sorted_peak=np.zeros(0, np.int32),
+            cmap=cmap,
+        )
     rmap = build_rankmap_device(
-        lambda: _member_pair_batches(gpos, pids, contigs, tables, masks_j, k),
-        k)
+        (lambda: pair_replay()) if pair_replay is not None else stream, k)
     return PeakSet(
         contig=pcontig, pos=ppos,
         sorted_hash=np.zeros(0, np.uint32), sorted_peak=np.zeros(0, np.int32),
@@ -623,10 +941,13 @@ def gather_pair_rows(c1, l1, c2, l2, idx):
 
 
 @partial(jax.jit,
-         static_argnames=("k", "use_map", "use_rank", "kw"))
+         static_argnames=("k", "use_map", "use_rank", "use_cuckoo", "kw",
+                          "cuckoo_bits"))
 def _vote_candidates(codes, lengths, masks, sorted_hash, sorted_peak,
-                     rank_wp, rank_pids,
-                     k: int, use_map: bool, use_rank: bool, kw: int):
+                     rank_wp, rank_pids, cuckoo_t1, cuckoo_t2,
+                     k: int, use_map: bool, use_rank: bool,
+                     use_cuckoo: bool, kw: int,
+                     cuckoo_bits: int = CUCKOO_BITS):
     import jax.numpy as jnp
 
     h, v = encode.canonical_hashes(jnp, codes, masks, k)  # [C,B,L]
@@ -637,7 +958,9 @@ def _vote_candidates(codes, lengths, masks, sorted_hash, sorted_peak,
         L = kw
     inwin = jnp.arange(L, dtype=jnp.int32)[None, :] <= (lengths[:, None] - k)
     return _candidates_from_h(h, v & inwin, sorted_hash, sorted_peak,
-                              use_map, rank_wp, rank_pids, use_rank)
+                              use_map, rank_wp, rank_pids, use_rank,
+                              cuckoo_t1, cuckoo_t2, use_cuckoo,
+                              cuckoo_bits)
 
 
 def split_vote_batch(
@@ -646,6 +969,8 @@ def split_vote_batch(
     masks, sorted_hash, sorted_peak, peak_contig,
     k: int, min_base_num: int = 6, n_slots: int = 8, use_map: bool = False,
     rank_wp=None, rank_pids=None, use_rank: bool = False, kw: int = 0,
+    cuckoo_t1=None, cuckoo_t2=None, use_cuckoo: bool = False,
+    cuckoo_bits: int = CUCKOO_BITS,
 ):
     """One device step of the split-read vote (slide_reads, cpp:313-506).
 
@@ -676,10 +1001,12 @@ def split_vote_batch(
         t0 = _time.perf_counter()
         pk1 = jax.block_until_ready(_vote_candidates(
             codes1, len1, masks, sorted_hash, sorted_peak,
-            rank_wp, rank_pids, k, use_map, use_rank, kw))
+            rank_wp, rank_pids, cuckoo_t1, cuckoo_t2,
+            k, use_map, use_rank, use_cuckoo, kw, cuckoo_bits))
         pk2 = jax.block_until_ready(_vote_candidates(
             codes2, len2, masks, sorted_hash, sorted_peak,
-            rank_wp, rank_pids, k, use_map, use_rank, kw))
+            rank_wp, rank_pids, cuckoo_t1, cuckoo_t2,
+            k, use_map, use_rank, use_cuckoo, kw, cuckoo_bits))
         metrics.record("vote_lookup_s", _time.perf_counter() - t0)
         t0 = _time.perf_counter()
         out = jax.block_until_ready(_vote_core_jit(
@@ -688,9 +1015,11 @@ def split_vote_batch(
         metrics.record("vote_core_s", _time.perf_counter() - t0)
         return out
     pk1 = _vote_candidates(codes1, len1, masks, sorted_hash, sorted_peak,
-                           rank_wp, rank_pids, k, use_map, use_rank, kw)
+                           rank_wp, rank_pids, cuckoo_t1, cuckoo_t2,
+                           k, use_map, use_rank, use_cuckoo, kw, cuckoo_bits)
     pk2 = _vote_candidates(codes2, len2, masks, sorted_hash, sorted_peak,
-                           rank_wp, rank_pids, k, use_map, use_rank, kw)
+                           rank_wp, rank_pids, cuckoo_t1, cuckoo_t2,
+                           k, use_map, use_rank, use_cuckoo, kw, cuckoo_bits)
     return _vote_core_jit(peak_filter, pk1, pk2, peak_contig, accept,
                           min_base_num, n_slots)
 
@@ -704,10 +1033,14 @@ def _vote_core_jit(peak_filter, pk1, pk2, peak_contig, accept,
 
 def _candidates_from_h(h, v, sorted_hash, sorted_peak,
                        use_map: bool,
-                       rank_wp=None, rank_pids=None, use_rank: bool = False):
+                       rank_wp=None, rank_pids=None, use_rank: bool = False,
+                       cuckoo_t1=None, cuckoo_t2=None,
+                       use_cuckoo: bool = False,
+                       cuckoo_bits: int = CUCKOO_BITS):
     """Peak-candidate lookup from canonical hashes — direct map (k <= 30
-    default), rank-select map (k > 30 default), or plain binary search (the
-    oracle fallback for host-built peaksets / tests).
+    default), cuckoo map (k > 30 default, 2 gathers), rank-select map
+    (k > 30 fallback, 3 gathers), or plain binary search (the oracle
+    fallback for host-built peaksets / tests).
 
     Hash 0 is excluded on every path (the degenerate all-zeros k-mer code;
     the direct-map build drops it, so the search paths must too for the
@@ -719,6 +1052,9 @@ def _candidates_from_h(h, v, sorted_hash, sorted_peak,
         return jnp.where(v[None, :, :] & (h != 0), pk, 0)
     K = sorted_hash.shape[0]
     ok0 = v[None, :, :] & (h != 0)
+    if use_cuckoo and cuckoo_t1 is not None:
+        return jnp.where(
+            ok0, cuckoo_lookup(cuckoo_t1, cuckoo_t2, h, cuckoo_bits), 0)
     if use_rank and rank_wp is not None:
         return jnp.where(ok0, rank_lookup(rank_wp, rank_pids, h), 0)
     idx = jnp.clip(jnp.searchsorted(sorted_hash, h), 0, max(K - 1, 0))

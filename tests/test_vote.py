@@ -343,6 +343,7 @@ def test_rankmap_device_build_matches_host():
 def test_build_hash_peakset_matches_host_build():
     """Device-chunked (hash, peak) collection + rank-map build == the host
     oracle build."""
+    import jax
     import jax.numpy as jnp
 
     from localhgt_tpu.io import fasta as fasta_mod
@@ -365,7 +366,7 @@ def test_build_hash_peakset_matches_host_build():
                    np.arange(120, 180, dtype=np.int64),
                    np.zeros(60, np.int32))]
     pset_dev = pm.build_hash_peakset(per_contig, contigs, tables, masks, k)
-    assert pset_dev.rmap is not None
+    assert pset_dev.rmap is not None  # RankMap is the default build
 
     def count_lookup(i, hashes):
         return np.asarray(tables[i]).reshape(-1)[hashes.astype(np.int64)]
@@ -373,6 +374,21 @@ def test_build_hash_peakset_matches_host_build():
     pset_host = pm.build_peakset(
         per_contig, lambda cid: contigs.contig_codes(cid), count_lookup,
         masks, k)
+    # the experimental cuckoo build (LHT_VOTE_CUCKOO=1) must agree too
+    import os
+
+    os.environ["LHT_VOTE_CUCKOO"] = "1"
+    try:
+        pset_ck = pm.build_hash_peakset(per_contig, contigs, tables,
+                                        masks, k)
+    finally:
+        del os.environ["LHT_VOTE_CUCKOO"]
+    assert pset_ck.cmap is not None
+    got_ck = np.asarray(jax.jit(
+        lambda t1, t2, h: pm.cuckoo_lookup(t1, t2, h, pset_ck.cmap.bits))(
+        pset_ck.cmap.t1, pset_ck.cmap.t2,
+        jnp.asarray(pset_host.sorted_hash)))
+    np.testing.assert_array_equal(got_ck, pset_host.sorted_peak)
     np.testing.assert_array_equal(np.asarray(pset_dev.rmap.wp),
                                   pset_host.rmap.wp)
     np.testing.assert_array_equal(np.asarray(pset_dev.rmap.pids),
@@ -453,3 +469,84 @@ def test_vote_prefilter_identity():
         # legitimately differs with batch size; real peaks must match
         np.testing.assert_array_equal(full[1:], compact[1:])
         assert full[1] >= 1 and full[2] >= 1  # the bridging pairs voted
+
+
+def test_cuckoo_build_and_lookup_matches_oracle():
+    """Device cuckoo placement + lookup == the direct dict oracle, with
+    duplicate keys resolving to the MAX pid (reference last-writer
+    semantics) and misses returning 0."""
+    import jax
+    import jax.numpy as jnp
+
+    bits = 16
+    rng = np.random.default_rng(9)
+    n = 20_000  # ~0.15 load over 2*2^16 slots
+    keys = rng.choice(np.arange(1, 1 << 20, dtype=np.uint32), size=n,
+                      replace=False).astype(np.uint32)
+    # spread over the full 32-bit space (canonical hashes are ~uniform;
+    # forcing e.g. odd keys would halve T1's reachable slots and create
+    # genuinely infeasible components)
+    keys = keys * np.uint32(2654435761)
+    keys = np.unique(keys[keys != 0])
+    pids = rng.integers(1, 1 << bits, size=len(keys)).astype(np.int32)
+    # add duplicates with different pids: max must win
+    dup = rng.choice(len(keys), size=500, replace=False)
+    dkeys = keys[dup]
+    dpids = np.minimum(pids[dup] + 7, (1 << bits) - 1).astype(np.int32)
+    allk = np.concatenate([keys, dkeys,
+                           np.full(37, 0xFFFFFFFF, np.uint32)])  # sentinels
+    allp = np.concatenate([pids, dpids, np.zeros(37, np.int32)])
+    sh = rng.permutation(len(allk))
+    cm = pm.build_cuckoo_device(allk[sh], allp[sh], k=32, bits=bits)
+    assert cm is not None, "placement must converge at 0.15 load"
+    oracle = {}
+    for kk, pp in zip(allk, allp):
+        if kk != 0xFFFFFFFF:
+            oracle[int(kk)] = max(oracle.get(int(kk), 0), int(pp))
+    # query stored keys + random misses
+    misses = rng.integers(1, 0xFFFFFFF0, size=5000, dtype=np.uint64)\
+        .astype(np.uint32)
+    q = np.concatenate([keys, misses])
+    got = np.asarray(jax.jit(
+        lambda t1, t2, h: pm.cuckoo_lookup(t1, t2, h, bits))(
+        cm.t1, cm.t2, jnp.asarray(q)))
+    want = np.array([oracle.get(int(x), 0) for x in q], np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_cuckoo_vote_matches_rank_vote():
+    """split_vote_batch through a CuckooMap == through the RankMap (and
+    the searchsorted oracle) on the shared fixture."""
+    import jax
+    import jax.numpy as jnp
+
+    gA, gB, masks, pset, k = _mk()   # k = 16
+    rmap = pm.build_rankmap_host(pset.sorted_hash, pset.sorted_peak, k)
+    cm = pm.build_cuckoo_device(
+        pset.sorted_hash.astype(np.uint32),
+        pset.sorted_peak.astype(np.int32), k=k, bits=12)
+    assert cm is not None
+    chimera = np.concatenate([gA[120:180], gB[120:180]])[None, :]
+    mate = gB[110:170][None, :]
+    B = 1
+    pf0 = jnp.zeros(pset.n + 1, jnp.int32)
+    args = (
+        jnp.asarray(chimera), jnp.full(B, chimera.shape[1], jnp.int32),
+        jnp.asarray(mate), jnp.full(B, mate.shape[1], jnp.int32),
+        jnp.asarray(np.ones(B, bool)), jnp.asarray(masks),
+    )
+    pc = jnp.asarray(pset.contig.astype(np.int32))
+    zh, zp = jnp.zeros(0, jnp.uint32), jnp.zeros(0, jnp.int32)
+    ref = pm.split_vote_batch(
+        pf0, *args, jnp.asarray(pset.sorted_hash),
+        jnp.asarray(pset.sorted_peak), pc, k=k)
+    via_rank = pm.split_vote_batch(
+        pf0, *args, zh, zp, pc, k=k,
+        rank_wp=jnp.asarray(rmap.wp), rank_pids=jnp.asarray(rmap.pids),
+        use_rank=True)
+    via_cuckoo = pm.split_vote_batch(
+        pf0, *args, zh, zp, pc, k=k,
+        cuckoo_t1=cm.t1, cuckoo_t2=cm.t2, use_cuckoo=True, cuckoo_bits=12)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(via_rank))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(via_cuckoo))
+    assert np.asarray(ref)[1] >= 1

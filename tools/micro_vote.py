@@ -49,9 +49,9 @@ def main():
     masks_j = jnp.asarray(masks)
 
     # synthetic rank map of n_kmers stored hashes (big fixture: ~40M)
-    hs = np.unique(rng.integers(1, 0xFFFFFFF0, size=int(n_kmers * 1.01),
+    hs = np.unique(rng.integers(1, 0xFFFFFFF0, size=int(n_kmers * 1.04),
                                 dtype=np.uint64).astype(np.uint32))[:n_kmers]
-    ps = rng.integers(1, 1_900_000, size=n_kmers).astype(np.int32)
+    ps = rng.integers(1, 1_900_000, size=len(hs)).astype(np.int32)
     rm = pm.build_rankmap_host(hs, ps, k)
     wp = jnp.asarray(rm.wp)
     pids = jnp.asarray(rm.pids)
