@@ -159,16 +159,20 @@ def peaks_in_intervals(peak: np.ndarray, intervals, merge_bin: int):
     C++ (merge_peak does not reset between good windows).
 
     Returns (positions, members, group_ids):
-        positions int64 [P]: representative (first) position of each peak;
-        members   int64 [M]: all member positions, ascending;
+        positions int32 [P]: representative (first) position of each peak
+            (contig-relative; callers widen to int64 global coords);
+        members   int32 [M]: all member positions, ascending (contig-
+            relative; a contig is < 2^31 bp, and int32 halves the
+            dominant host allocation at reference scale — scale1g held
+            ~500M members);
         group_ids int32 [M]: 0-based peak index of each member.
     """
     peak = np.asarray(peak, dtype=bool)
-    mems = [np.flatnonzero(peak[a:b]).astype(np.int64) + a
+    mems = [np.flatnonzero(peak[a:b]).astype(np.int32) + np.int32(a)
             for a, b in intervals]
-    mem = (np.concatenate(mems) if mems else np.zeros(0, np.int64))
+    mem = (np.concatenate(mems) if mems else np.zeros(0, np.int32))
     if len(mem) == 0:
-        return (np.zeros(0, np.int64), np.zeros(0, np.int64),
+        return (np.zeros(0, np.int64), np.zeros(0, np.int32),
                 np.zeros(0, np.int32))
     bins = mem // merge_bin
     first = np.ones(len(mem), bool)

@@ -381,8 +381,8 @@ def make_collect_step(mesh: Mesh, k: int, coder_num: int):
 
 def build_peakset_sharded(mesh: Mesh, per_contig, contigs, tables, masks,
                           k: int) -> peaks_mod.PeakSet:
-    pcontig, ppos, gpos, pids = peaks_mod._flatten_members(per_contig,
-                                                           contigs, k)
+    pcontig, ppos, gpos, pids = peaks_mod._flatten_members(
+        per_contig, contigs, k, consume=True)
     total = len(contigs.codes)
     masks_j = _replicate(mesh, jnp.asarray(masks))
     step = make_collect_step(mesh, k, len(tables))

@@ -97,7 +97,13 @@ def _batch_width(lmax: int) -> int:
 # padded batches already exist host-side, so the spill costs nothing at
 # count time and only an H2D upload at vote time — strictly cheaper than
 # the re-read it replaces).
-CODE_CACHE_DEVICE_LIMIT = 5 << 30
+
+# Device-tier cap sized for the k=32 worst case: 3 x 2 GB count tables +
+# the cache + stage-B scan temps (~2 GB) must fit 16 GB HBM together —
+# the round-4 5 GB cap OOM'd the scale1g scan (3.7 GB cached + 6 GB
+# tables + temps). Spilling costs nothing at cache time (the host
+# mirrors exist anyway) and only an H2D re-upload at vote/align time.
+CODE_CACHE_DEVICE_LIMIT = int(2.5 * (1 << 30))
 CODE_CACHE_HOST_LIMIT = 8 << 30
 
 
@@ -264,7 +270,9 @@ def _scan_rows(tables, codes, true_len, masks, k, scan_cfg, least_depth):
     return jnp.packbits(g, axis=-1), jnp.packbits(p, axis=-1)
 
 
-SCAN_ROWS = 16  # contig chunks per scan dispatch
+SCAN_ROWS = 8  # contig chunks per scan dispatch: the per-dispatch hash
+#                temp is [3, R, chunk] uint32 (384 MB at R=8) and must
+#                coexist with the count tables + code cache at scale
 
 
 def scan_reference(tables, contigs: fasta.Contigs, masks, cfg: Config):

@@ -635,7 +635,7 @@ def build_rankmap_device(pair_batches, k: int,
     return RankMap(wp=wp, pids=pids, k=k)
 
 
-def _flatten_members(per_contig, contigs, k):
+def _flatten_members(per_contig, contigs, k, consume: bool = False):
     """Host: peak table (contig, pos) + flat member positions (global
     coordinates in the concatenated code array) with their peak ids.
 
@@ -647,19 +647,32 @@ def _flatten_members(per_contig, contigs, k):
     gpos_all = []
     pid_all = []
     pid_base = 0
-    for cid, pos, mem, gid in per_contig:
+    # with consume=True the per-contig arrays are freed as they are
+    # copied: at reference scale the member arrays are the dominant host
+    # allocation (scale1g: ~500M members), and holding both the
+    # per-contig copies and the flat concatenation peaked host RSS at
+    # 42 GB against the reference's <25 GB envelope (README.md:6)
+    for i in range(len(per_contig)):
+        cid, pos, mem, gid = per_contig[i]
+        if consume:
+            per_contig[i] = None
         ln = contigs.length_of(cid)
-        off = int(contigs.offsets[cid - 1])
+        off = np.int64(contigs.offsets[cid - 1])
         pcontig.append(np.full(len(pos), cid, np.int32))
         ppos.append(np.asarray(pos, np.int64))
         # k-mers only exist for positions <= len-k (add_peak bounds check,
         # cpp:247,262)
         sel = mem <= ln - k
-        gpos_all.append(mem[sel] + off)
+        gpos_all.append(mem[sel].astype(np.int64) + off)
         pid_all.append(gid[sel].astype(np.int32) + np.int32(pid_base + 1))
         pid_base += len(pos)
+        del pos, mem, gid
+    if consume:
+        per_contig.clear()
     gpos = np.concatenate(gpos_all) if gpos_all else np.zeros(0, np.int64)
+    gpos_all.clear()
     pids = np.concatenate(pid_all) if pid_all else np.zeros(0, np.int32)
+    pid_all.clear()
     return (np.concatenate(pcontig), np.concatenate(ppos), gpos, pids)
 
 
@@ -703,7 +716,8 @@ def build_direct_map(per_contig, contigs, tables, masks, k: int):
     not the reference length."""
     import jax.numpy as jnp
 
-    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
+    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k,
+                                                 consume=True)
     direct_map = jnp.zeros(1 << k, jnp.int32)
     total = len(contigs.codes)
     masks_j = jnp.asarray(masks)
@@ -819,7 +833,8 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
     placement fails."""
     import jax.numpy as jnp
 
-    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k)
+    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k,
+                                                 consume=True)
     masks_j = jnp.asarray(masks)
     n_peaks = len(pcontig) - 1
 

@@ -132,7 +132,7 @@ def test_build_direct_map_device():
     per_contig = [(1, np.array([150], np.int64),
                    np.arange(120, 180, dtype=np.int64),
                    np.zeros(60, np.int32))]
-    pset = pm.build_direct_map(per_contig, contigs, tables, masks, k)
+    pset = pm.build_direct_map(list(per_contig), contigs, tables, masks, k)
     dm = np.asarray(pset.direct_map)
     # every registered hash must be a valid k-mer of the window with count>0
     set_hashes = np.flatnonzero(dm)
@@ -365,7 +365,8 @@ def test_build_hash_peakset_matches_host_build():
     per_contig = [(1, np.array([150], np.int64),
                    np.arange(120, 180, dtype=np.int64),
                    np.zeros(60, np.int32))]
-    pset_dev = pm.build_hash_peakset(per_contig, contigs, tables, masks, k)
+    pset_dev = pm.build_hash_peakset(list(per_contig), contigs, tables,
+                                 masks, k)
     assert pset_dev.rmap is not None  # RankMap is the default build
 
     def count_lookup(i, hashes):
@@ -379,7 +380,7 @@ def test_build_hash_peakset_matches_host_build():
 
     os.environ["LHT_VOTE_CUCKOO"] = "1"
     try:
-        pset_ck = pm.build_hash_peakset(per_contig, contigs, tables,
+        pset_ck = pm.build_hash_peakset(list(per_contig), contigs, tables,
                                         masks, k)
     finally:
         del os.environ["LHT_VOTE_CUCKOO"]
