@@ -818,6 +818,64 @@ def _member_pair_batches(gpos, pids, contigs, tables, masks_j, k: int):
                                 jnp.asarray(pd_p))
 
 
+def _member_pair_batches_pc(per_contig, pid_bases, contigs, tables, masks_j,
+                            k: int):
+    """_member_pair_batches walking the per-contig arrays DIRECTLY — the
+    flat int64 (gpos, pids) stream is never materialized. At reference
+    scale that stream is the dominant host allocation (scale1g: ~500M
+    members x 12 bytes on top of the per-contig copies pushed host RSS
+    past the reference's <25 GB envelope); the per-contig int32 members
+    are kept as-is and sliced per reference chunk with searchsorted.
+
+    per_contig entries are (cid, pos, mem int32 contig-relative, gid);
+    pid_bases[i] is the number of peaks before entry i. Same stream
+    contents and order as _member_pair_batches."""
+    import jax.numpy as jnp
+
+    total = len(contigs.codes)
+    starts = [int(contigs.offsets[e[0] - 1]) for e in per_contig]
+    for base in range(0, max(total, 1), MAP_BUILD_CHUNK):
+        end = base + MAP_BUILD_CHUNK
+        # member (chunk-relative pos, pid) pieces from contigs overlapping
+        # this chunk; contigs are ordered by offset
+        i0 = np.searchsorted(starts, base, side="right") - 1
+        gp_list, pd_list = [], []
+        for i in range(max(i0, 0), len(per_contig)):
+            cid, pos, mem, gid = per_contig[i]
+            off = starts[i]
+            if off >= end:
+                break
+            ln = contigs.length_of(cid)
+            if off + ln <= base or not len(mem):
+                continue
+            # k-mers only exist for positions <= len-k (add_peak bounds
+            # check, cpp:247,262)
+            lo = int(np.searchsorted(mem, base - off))
+            hi = int(np.searchsorted(mem, min(end - off, ln - k + 1)))
+            if hi <= lo:
+                continue
+            gp_list.append((mem[lo:hi].astype(np.int64) + off - base)
+                           .astype(np.int32))
+            pd_list.append(gid[lo:hi].astype(np.int32)
+                           + np.int32(pid_bases[i] + 1))
+        if not gp_list:
+            continue
+        gp = np.concatenate(gp_list)
+        pd = np.concatenate(pd_list)
+        codes_chunk = np.full(MAP_BUILD_CHUNK + k, 4, np.uint8)
+        avail = contigs.codes[base : base + MAP_BUILD_CHUNK + k]
+        codes_chunk[: len(avail)] = avail
+        h, v = _hash_ref_chunk(jnp.asarray(codes_chunk), masks_j, k=k)
+        for s in range(0, len(gp), MEMBER_SUB):
+            e = min(len(gp), s + MEMBER_SUB)
+            gp_p = np.zeros(MEMBER_SUB, np.int32)
+            gp_p[: e - s] = gp[s:e]
+            pd_p = np.zeros(MEMBER_SUB, np.int32)
+            pd_p[: e - s] = pd[s:e]
+            yield _member_batch(h, v, tables, jnp.asarray(gp_p),
+                                jnp.asarray(pd_p))
+
+
 def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
                        tables_box: list | None = None):
     """Device-first peakset build for k > 30 (where the 2^k direct map does
@@ -833,14 +891,30 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
     placement fails."""
     import jax.numpy as jnp
 
-    pcontig, ppos, gpos, pids = _flatten_members(per_contig, contigs, k,
-                                                 consume=True)
+    # peak table (small) + per-entry pid bases; the member stream walks
+    # the per-contig int32 arrays directly (_member_pair_batches_pc) so
+    # the flat int64 (gpos, pids) arrays are never materialized — at
+    # scale1g they alone were ~10 GB of host RSS
+    pcontig = [np.zeros(1, np.int32)]
+    ppos = [np.zeros(1, np.int64)]
+    pid_bases = []
+    pid_base = 0
+    n_members = 0
+    for cid, pos, mem, gid in per_contig:
+        pid_bases.append(pid_base)
+        pcontig.append(np.full(len(pos), cid, np.int32))
+        ppos.append(np.asarray(pos, np.int64))
+        pid_base += len(pos)
+        n_members += len(mem)
+    pcontig = np.concatenate(pcontig)
+    ppos = np.concatenate(ppos)
     masks_j = jnp.asarray(masks)
     n_peaks = len(pcontig) - 1
 
     def stream():
         t = tables_box[0] if tables_box is not None else tables
-        return _member_pair_batches(gpos, pids, contigs, t, masks_j, k)
+        return _member_pair_batches_pc(per_contig, pid_bases, contigs, t,
+                                       masks_j, k)
 
     import os as _os
 
@@ -856,7 +930,7 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
     use_cuckoo = (_os.environ.get("LHT_VOTE_CUCKOO", "0") == "1"
                   and cbits >= 8
                   and n_peaks + 1 < (1 << cbits)
-                  and len(gpos) * 3 < min(CUCKOO_MAX_KEYS,
+                  and n_members * 3 < min(CUCKOO_MAX_KEYS,
                                           int(0.45 * (2 << cbits))))
     pair_replay = None  # device-resident pair stream once collected
     if use_cuckoo:
@@ -886,6 +960,7 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
                         yield keys_all[lo : lo + CH], pids_all[lo : lo + CH]
             del keys_all, pids_all
     if cmap is not None:
+        per_contig.clear()  # free the member arrays (host)
         return PeakSet(
             contig=pcontig, pos=ppos,
             sorted_hash=np.zeros(0, np.uint32),
@@ -894,6 +969,7 @@ def build_hash_peakset(per_contig, contigs, tables, masks, k: int,
         )
     rmap = build_rankmap_device(
         (lambda: pair_replay()) if pair_replay is not None else stream, k)
+    per_contig.clear()  # free the member arrays (host)
     return PeakSet(
         contig=pcontig, pos=ppos,
         sorted_hash=np.zeros(0, np.uint32), sorted_peak=np.zeros(0, np.int32),
