@@ -87,6 +87,9 @@ def detect_breakpoint(
 
     cfg = cfg or Config()
     validate.check_bkp_inputs(ref_path, fq1, fq2, outdir)
+    from localhgt_tpu.utils import hostmem
+
+    hostmem.cap_mmap_threshold()  # see utils/hostmem.py: glibc retention
     t0 = time.time()
     logging.basicConfig(
         level=logging.INFO,

@@ -90,6 +90,9 @@ def stage(name: str):
     with ctx:
         yield
     add_time(name, time.perf_counter() - t0)
+    from localhgt_tpu.utils import hostmem
+
+    hostmem.trim()  # return freed arena pages before sampling RSS
     _STAGE_RSS[name] = host_rss_gb()
 
 
