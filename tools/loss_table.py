@@ -149,10 +149,11 @@ def main():
 
     def near_rows(rows, c1, p1, c2, p2):
         for r in rows:
-            for (rc1, rp1, rc2, rp2) in (
-                (r["from_ref"], r["from_pos"], r["to_ref"], r["to_pos"]),
-                (r["to_ref"], r["to_pos"], r["from_ref"], r["from_pos"]),
-            ):
+            if isinstance(r, dict):
+                f = (r["from_ref"], r["from_pos"], r["to_ref"], r["to_pos"])
+            else:  # accbkp.AccBkp objects (contig ids + *_bkp coords)
+                f = (r.from_ref, r.from_bkp, r.to_ref, r.to_bkp)
+            for (rc1, rp1, rc2, rp2) in (f, (f[2], f[3], f[0], f[1])):
                 rn1 = contigs.name_of(rc1) if isinstance(rc1, (int, np.integer)) else rc1
                 rn2 = contigs.name_of(rc2) if isinstance(rc2, (int, np.integer)) else rc2
                 if rn1 == c1 and rn2 == c2 and \
