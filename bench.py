@@ -66,7 +66,7 @@ SCALES = {
     # scale proof (r2 VERDICT ask #3): >= 1 Gbp reference / >= 10M pairs —
     # the headline workload's shape (multi-Gbp UHGG, 13M pairs at the 2 Gbp
     # down-sample). One-pass; run as LHT_BENCH_SCALE=scale1g python bench.py,
-    # recorded in reports/SCALE_r4.json
+    # recorded in reports/SCALE_r5.json
     "scale1g": (205, 5_000_000, 100, 3, False),
 }
 
